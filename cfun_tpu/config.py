@@ -225,4 +225,5 @@ def tiny_config(stage: str = "beginning", **overrides) -> Config:
         mask_pool_size=(16, 16, 16),
         mask_shape_override=(16, 16, 16) if stage != "finetune" else (32, 32, 32),
         detection_max_instances=4,
+        compute_dtype="float32",
     ).replace(**overrides)

@@ -1,0 +1,175 @@
+"""The full CFUN graph: trunk, proposals, ROI pooling, detection, mask.
+
+Replaces the reference's dual-mode ``MaskRCNN.predict`` (model.py:1391-1514)
+with pure functions shared by two separately jit'd programs:
+
+  inference:  trunk -> propose -> classifier -> refine_detections -> mask
+  training:   trunk -> propose -> detection targets -> classifier + mask
+
+Every formerly-dynamic shape is fixed-capacity with a validity mask; the NMS,
+RoIAlign and detection filtering that the reference bounced through host
+NumPy (SURVEY.md s3.1-3.2) run on-device inside one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cfun_tpu import nn
+from cfun_tpu.config import Config
+from cfun_tpu.models.fpn import apply_fpn, init_fpn
+from cfun_tpu.models.heads import (apply_classifier, apply_mask_head,
+                                   init_classifier, init_mask_head)
+from cfun_tpu.models.p3d import apply_p3d, init_p3d
+from cfun_tpu.models.rpn import apply_rpn, init_rpn
+from cfun_tpu.ops.boxes import (apply_box_deltas, clip_boxes,
+                                denormalize_boxes, normalize_boxes)
+from cfun_tpu.ops.nms import masked_nms, nms_gather
+from cfun_tpu.ops.sample3d import roi_align
+
+
+def init_params(key, cfg: Config) -> nn.Params:
+    kb, kf, kr, kc, km = jax.random.split(key, 5)
+    return {
+        "backbone": init_p3d(kb, cfg),
+        "fpn": init_fpn(kf, cfg),
+        "rpn": init_rpn(kr, cfg),
+        "classifier": init_classifier(kc, cfg),
+        "mask": init_mask_head(km, cfg),
+    }
+
+
+def _dtype(cfg: Config):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+class TrunkOut(NamedTuple):
+    p2: jnp.ndarray  # [B, D/8, H/8, W/8, C]
+    p3: jnp.ndarray  # [B, D/16, H/16, W/16, C]
+    rpn_logits: jnp.ndarray  # [B, A, 2]
+    rpn_deltas: jnp.ndarray  # [B, A, 6]
+
+
+def apply_trunk(params: nn.Params, image: jnp.ndarray, cfg: Config) -> TrunkOut:
+    """image: [B, D, H, W, 1] molded volume."""
+    dt = _dtype(cfg)
+    c2, c3 = apply_p3d(params["backbone"], image, cfg, dtype=dt)
+    p2, p3 = apply_fpn(params["fpn"], c2, c3, dtype=dt)
+    l2, d2 = apply_rpn(params["rpn"], p2, cfg.anchor_stride, dtype=dt)
+    l3, d3 = apply_rpn(params["rpn"], p3, cfg.anchor_stride, dtype=dt)
+    return TrunkOut(p2, p3,
+                    jnp.concatenate([l2, l3], axis=1),
+                    jnp.concatenate([d2, d3], axis=1))
+
+
+def propose(rpn_logits: jnp.ndarray, rpn_deltas: jnp.ndarray,
+            anchors: jnp.ndarray, cfg: Config,
+            proposal_count: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Proposal layer for one image (reference model.py:199-258).
+
+    rpn_logits/deltas: [A, 2] / [A, 6]; anchors: [A, 6] voxel coords.
+    Returns (proposals [P, 6] normalized + zero-padded, valid [P] bool).
+    """
+    scores = jax.nn.softmax(rpn_logits, axis=-1)[:, 1]
+    deltas = rpn_deltas * jnp.asarray(cfg.rpn_bbox_std, jnp.float32)
+
+    pre = min(cfg.pre_nms_limit, anchors.shape[0])
+    top_scores, order = jax.lax.top_k(scores, pre)
+    boxes = apply_box_deltas(anchors[order], deltas[order])
+
+    d, h, w = cfg.image_shape
+    boxes = clip_boxes(boxes, jnp.asarray([0, 0, 0, d, h, w], jnp.float32))
+
+    idx, keep = masked_nms(boxes, top_scores, jnp.ones(pre, bool),
+                           cfg.rpn_nms_threshold, proposal_count)
+    proposals = nms_gather(boxes, idx, keep)
+    return normalize_boxes(proposals, cfg.image_shape), keep
+
+
+def pyramid_roi_align(boxes: jnp.ndarray, p2: jnp.ndarray, p3: jnp.ndarray,
+                      pool_size) -> jnp.ndarray:
+    """FPN-level-assigned RoIAlign (reference model.py:292-370).
+
+    boxes: [K, 6] normalized; p2/p3: [D, H, W, C] (batch dim stripped).
+    Each box is pooled from both levels and the result selected by the FPN
+    assignment rule ``level = clamp(round(4 + log2(dhw)/3), 2, 3)`` -- fully
+    batched, no data-dependent partitioning (cheap at K <= 500, 12^3 crops).
+    """
+    size = jnp.maximum(boxes[:, 3:] - boxes[:, :3], 1e-9)
+    vol = jnp.prod(size, axis=-1)
+    level = jnp.round(4.0 + jnp.log2(vol) / 3.0)
+    level = jnp.clip(level, 2, 3)
+    pooled2 = roi_align(p2, boxes, tuple(pool_size))
+    pooled3 = roi_align(p3, boxes, tuple(pool_size))
+    sel = (level == 2)[:, None, None, None, None]
+    return jnp.where(sel, pooled2, pooled3)
+
+
+def refine_detections(rois: jnp.ndarray, roi_valid: jnp.ndarray,
+                      probs: jnp.ndarray, deltas: jnp.ndarray,
+                      window, cfg: Config) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Detection layer (reference model.py:584-676), fixed capacity.
+
+    rois: [K, 6] normalized; probs: [K, 2]; deltas: [K, 2, 6];
+    window: (z1, y1, x1, z2, y2, x2) voxel coords of the un-padded image.
+    Returns (detections [Dmax, 8] = (box, class_id, score) in voxel coords,
+    keep [Dmax] bool).  Padded slots have class_id 0 (the reference's
+    stop marker, model.py:1827-1829).
+    """
+    class_ids = jnp.argmax(probs, axis=-1)
+    scores = jnp.take_along_axis(probs, class_ids[:, None], axis=1)[:, 0]
+    sel_deltas = jnp.take_along_axis(
+        deltas, class_ids[:, None, None].repeat(6, -1), axis=1)[:, 0]
+    # the reference scales with RPN_BBOX_STD_DEV here (model.py:610)
+    refined = apply_box_deltas(rois, sel_deltas *
+                               jnp.asarray(cfg.rpn_bbox_std, jnp.float32))
+    refined = denormalize_boxes(refined, cfg.image_shape)
+    refined = clip_boxes(refined, window)
+    refined = jnp.round(refined)
+
+    keep = roi_valid & (class_ids > 0) & (scores >= cfg.detection_min_confidence)
+    # Per-class NMS: the classifier head is binary (model.py:1290-1291), so
+    # the only FG class is 1 and one masked NMS pass covers it.
+    idx, kept = masked_nms(refined, scores, keep, cfg.detection_nms_threshold,
+                           cfg.detection_max_instances)
+    det_boxes = nms_gather(refined, idx, kept)
+    det = jnp.concatenate(
+        [det_boxes,
+         jnp.where(kept, class_ids[idx], 0)[:, None].astype(jnp.float32),
+         jnp.where(kept, scores[idx], 0.0)[:, None]], axis=1)
+    return det, kept
+
+
+class InferOut(NamedTuple):
+    detections: jnp.ndarray  # [Dmax, 8] voxel coords
+    det_valid: jnp.ndarray   # [Dmax] bool
+    mask_probs: jnp.ndarray  # [Dmax, mD, mH, mW, num_classes] softmax
+
+
+def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
+                  window: jnp.ndarray, cfg: Config) -> InferOut:
+    """Single-volume inference graph (reference call stack SURVEY.md s3.2).
+
+    image: [1, D, H, W, 1]; window: [6] voxel coords of valid region.
+    """
+    trunk = apply_trunk(params, image, cfg)
+    proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
+                               anchors, cfg, cfg.post_nms_rois_inference)
+
+    pooled = pyramid_roi_align(proposals, trunk.p2[0], trunk.p3[0],
+                               cfg.pool_size)
+    logits, deltas = apply_classifier(params["classifier"], pooled,
+                                      dtype=_dtype(cfg))
+    probs = jax.nn.softmax(logits, axis=-1)
+    detections, kept = refine_detections(proposals, valid, probs, deltas,
+                                         window, cfg)
+
+    det_boxes_norm = normalize_boxes(detections[:, :6], cfg.image_shape)
+    crops = roi_align(image[0], det_boxes_norm, tuple(cfg.mask_pool_size))
+    mask_logits = apply_mask_head(params["mask"], crops, stage=cfg.stage,
+                                  dtype=_dtype(cfg))
+    mask_probs = jax.nn.softmax(mask_logits, axis=-1)
+    return InferOut(detections, kept, mask_probs)

@@ -1,0 +1,168 @@
+"""Minimal functional NN layer library.
+
+All layers are (init, apply) pairs over plain nested-dict parameter pytrees:
+no module objects, no tracing-time mutation -- the idiomatic-JAX functional
+core that replaces the reference's torch.nn modules.  Conv padding uses
+torch-style explicit symmetric padding so strided convs align exactly with
+the reference architecture's downsampling/skip geometry.
+
+Initialization mirrors the reference's post-build pass (model.py:1306-1319):
+conv weights Xavier-uniform with zero bias, linears N(0, 0.01), norm scale 1 /
+bias 0.  BatchNorm is *frozen*: the reference always runs BN in eval mode
+(TRAIN_BN=False, model.py:1297-1304 + 1400-1406), so here it is a pure
+scale-shift with constant (mean 0, var 1) statistics kept in the tree for
+checkpoint compatibility; gamma/beta remain trainable.
+
+Compute dtype: convolutions cast inputs/weights to ``dtype`` (bfloat16 on
+TPU) and accumulate in float32 on the MXU via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _triple(v):
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v, v)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def conv3d_init(key, kernel, c_in: int, c_out: int, bias: bool = True) -> Params:
+    kd, kh, kw = _triple(kernel)
+    fan_in = kd * kh * kw * c_in
+    fan_out = kd * kh * kw * c_out
+    limit = math.sqrt(6.0 / (fan_in + fan_out))  # xavier_uniform
+    p = {"w": jax.random.uniform(key, (kd, kh, kw, c_in, c_out),
+                                 jnp.float32, -limit, limit)}
+    if bias:
+        p["b"] = jnp.zeros((c_out,), jnp.float32)
+    return p
+
+
+def linear_init(key, c_in: int, c_out: int) -> Params:
+    return {
+        "w": 0.01 * jax.random.normal(key, (c_in, c_out), jnp.float32),
+        "b": jnp.zeros((c_out,), jnp.float32),
+    }
+
+
+def norm_init(c: int) -> Params:
+    """Frozen-BN parameter block (stats are non-trainable constants)."""
+    return {
+        "scale": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "mean": jnp.zeros((c,), jnp.float32),
+        "var": jnp.ones((c,), jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def conv3d(p: Params, x: jnp.ndarray, stride=1, padding="torch",
+           kernel=None, dtype=jnp.float32) -> jnp.ndarray:
+    """3D conv over NDHWC input.
+
+    padding: 'torch' = symmetric (k-1)//2 per axis (matches torch p=k//2 for
+    odd kernels), explicit list of (lo, hi), or 'VALID'.
+    """
+    w = p["w"]
+    if padding == "torch":
+        pads = tuple(((s - 1) // 2, (s - 1) // 2) for s in w.shape[:3])
+    elif padding == "VALID":
+        pads = ((0, 0), (0, 0), (0, 0))
+    else:
+        pads = padding
+    out = lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype),
+        window_strides=_triple(stride),
+        padding=pads,
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        out = out + p["b"]
+    return out.astype(dtype)
+
+
+def linear(p: Params, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    out = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
+                  preferred_element_type=jnp.float32) + p["b"]
+    return out.astype(dtype)
+
+
+def frozen_bn(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Eval-mode batch norm: affine transform with stored statistics."""
+    inv = lax.rsqrt(p["var"].astype(jnp.float32) + eps)
+    scale = (p["scale"] * inv).astype(x.dtype)
+    shift = (p["bias"] - p["mean"] * p["scale"] * inv).astype(x.dtype)
+    return x * scale + shift
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Parameter-free instance norm over spatial dims (torch InstanceNorm3d
+    default affine=False, mask_branch.py:28 etc.)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
+    return ((x32 - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def max_pool(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        (1, window, window, window, 1),
+        (1, stride, stride, stride, 1),
+        "VALID",
+    )
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest x2 upsampling of NDHWC via repeat."""
+    for axis in (1, 2, 3):
+        x = jnp.repeat(x, factor, axis=axis)
+    return x
+
+
+def channel_dropout(key, x: jnp.ndarray, rate: float,
+                    deterministic: bool) -> jnp.ndarray:
+    """torch Dropout3d: zero entire channels (mask_branch.py:19)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, (x.shape[0], 1, 1, 1, x.shape[-1]))
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# key utilities
+# ---------------------------------------------------------------------------
+
+def key_iter(key):
+    """Infinite deterministic key splitter."""
+    while True:
+        key, sub = jax.random.split(key)
+        yield sub

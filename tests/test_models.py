@@ -1,0 +1,73 @@
+"""Golden-shape tests for the model graph on CPU with a tiny config."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cfun_tpu.config import tiny_config
+from cfun_tpu.models import cfun
+from cfun_tpu.models.unet3d import apply_unet, init_unet
+from cfun_tpu.ops.anchors import config_anchors
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_config()
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_trunk_shapes(tiny):
+    cfg, params = tiny
+    img = jnp.zeros((1, *cfg.image_shape, 1), jnp.float32)
+    out = cfun.apply_trunk(params, img, cfg)
+    d, h, w = cfg.image_shape
+    assert out.p2.shape == (1, d // 8, h // 8, w // 8, cfg.fpn_channels)
+    assert out.p3.shape == (1, d // 16, h // 16, w // 16, cfg.fpn_channels)
+    assert out.rpn_logits.shape == (1, cfg.num_anchors, 2)
+    assert out.rpn_deltas.shape == (1, cfg.num_anchors, 6)
+
+
+def test_unet_shapes_both_stages():
+    key = jax.random.PRNGKey(1)
+    p = init_unet(key, 1, 4, base=4)
+    x = jnp.zeros((2, 16, 16, 16, 1), jnp.float32)
+    y = apply_unet(p, x, stage="beginning")
+    assert y.shape == (2, 16, 16, 16, 4)
+    y = apply_unet(p, x, stage="finetune")
+    assert y.shape == (2, 32, 32, 32, 4)
+
+
+def test_unet_dropout_needs_key():
+    p = init_unet(jax.random.PRNGKey(2), 1, 3, base=4)
+    x = jnp.ones((1, 16, 16, 16, 1), jnp.float32)
+    y0 = apply_unet(p, x, stage="beginning")
+    y1 = apply_unet(p, x, stage="beginning", dropout_rate=0.6,
+                    dropout_key=jax.random.PRNGKey(3))
+    assert y0.shape == y1.shape
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_infer_forward_jits_and_is_finite(tiny):
+    cfg, params = tiny
+    anchors = jnp.asarray(config_anchors(cfg))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, *cfg.image_shape, 1)).astype(np.float32))
+    d, h, w = cfg.image_shape
+    window = jnp.asarray([0, 0, 0, d, h, w], jnp.float32)
+
+    fwd = jax.jit(cfun.infer_forward, static_argnames=("cfg",))
+    out = fwd(params, img, anchors, window, cfg)
+    dmax = cfg.detection_max_instances
+    assert out.detections.shape == (dmax, 8)
+    assert out.mask_probs.shape == (dmax, *cfg.mask_pool_size, cfg.num_classes)
+    assert np.isfinite(np.asarray(out.mask_probs)).all()
+    assert np.isfinite(np.asarray(out.detections)).all()
+    # mask softmax sums to one
+    np.testing.assert_allclose(
+        np.asarray(out.mask_probs.sum(-1)), 1.0, rtol=1e-4)
+    # padded detections have class 0
+    det = np.asarray(out.detections)
+    kept = np.asarray(out.det_valid)
+    assert np.all(det[~kept, 6] == 0)
