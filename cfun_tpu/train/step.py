@@ -1,0 +1,178 @@
+"""The jit'd training step: forward, six fused losses, SGD update.
+
+One XLA program replaces the reference's per-step host choreography
+(load_image_gt on the host, NumPy NMS mid-graph, skimage mask crops,
+.cuda()/.cpu() ping-pong -- SURVEY.md s3.1).  The feeder delivers ready
+tensors; everything from the backbone to the optimizer update is device code.
+
+Optimizer semantics match the reference (model.py:1536-1545, 1640-1645):
+SGD + momentum 0.9, weight decay 1e-4 on all params except norm layers,
+global grad-norm clip 5.0 applied before the decay term is added.
+
+Stage/variant gating (SURVEY.md s2.2 L5) is static: heart trains everything;
+LiTS 'beginning' trains detection only (mask head skipped), 'together' /
+'finetune' freeze backbone+RPN and train the mask branch only -- expressed
+as a trainable-mask over the gradient tree rather than requires_grad
+mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cfun_tpu.config import Config
+from cfun_tpu.models import cfun
+from cfun_tpu.models.heads import apply_classifier, apply_mask_head
+from cfun_tpu.models.cfun import propose, pyramid_roi_align
+from cfun_tpu.ops.sample3d import roi_align
+from cfun_tpu.train import losses as L
+from cfun_tpu.train.targets import detection_targets
+
+
+class TrainBatch(NamedTuple):
+    """One molded training example (batch dim 1 on the image)."""
+    image: jnp.ndarray       # [1, D, H, W, 1] float32, z-scored
+    rpn_match: jnp.ndarray   # [A] int8 in {-1, 0, 1}
+    rpn_deltas: jnp.ndarray  # [A, 6] float32 (dense per-anchor targets)
+    gt_box_norm: jnp.ndarray  # [6] normalized whole-organ box
+    labels: jnp.ndarray      # [D, H, W] int32 class labels
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def stage_flags(cfg: Config) -> Tuple[bool, bool, bool]:
+    """(train_detection, train_mask, edge_loss_on) for this config/stage."""
+    if cfg.name == "lits":
+        if cfg.stage == "beginning":
+            return True, False, False
+        return False, True, True
+    return True, True, cfg.stage == "finetune"
+
+
+def trainable_mask(params, cfg: Config):
+    """Pytree of bools: which leaves receive gradient updates."""
+    train_detection, train_mask_branch, _ = stage_flags(cfg)
+
+    def leaf_mask(path, _leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        spath = "/".join(str(k) for k in keys)
+        if spath.endswith("/mean") or spath.endswith("/var"):
+            return False  # frozen-BN statistics are constants
+        top = keys[0]
+        if top in ("backbone", "fpn", "rpn", "classifier"):
+            return train_detection
+        if top == "mask":
+            return train_mask_branch
+        return True
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def decay_mask(params):
+    """Weight decay on everything except norm-layer parameters (the
+    reference filters names containing 'bn', model.py:1538-1541)."""
+    def leaf_mask(path, _leaf):
+        spath = "/".join(str(getattr(p, "key", p)) for p in path)
+        return "bn" not in spath and "stem_bn" not in spath
+
+    return jax.tree_util.tree_map_with_path(leaf_mask, params)
+
+
+def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip_norm),
+        optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask(params)),
+        optax.sgd(cfg.learning_rate, momentum=cfg.momentum),
+    )
+
+
+def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
+                  cfg: Config, key) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward + all losses for one example.  Returns (total, unweighted)."""
+    k_tgt, k_drop = jax.random.split(key)
+    train_det, train_mask_branch, edge_on = stage_flags(cfg)
+
+    trunk = cfun.apply_trunk(params, batch.image, cfg)
+    proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
+                               anchors, cfg, cfg.post_nms_rois_training)
+    proposals = jax.lax.stop_gradient(proposals)
+
+    tgt = detection_targets(k_tgt, proposals, valid, batch.gt_box_norm,
+                            batch.labels, cfg)
+
+    zero = jnp.zeros((), jnp.float32)
+    out = {
+        "rpn_class_loss": zero, "rpn_bbox_loss": zero,
+        "mrcnn_class_loss": zero, "mrcnn_bbox_loss": zero,
+        "mrcnn_mask_loss": zero, "mrcnn_mask_edge_loss": zero,
+    }
+
+    if train_det:
+        out["rpn_class_loss"] = L.rpn_class_loss(batch.rpn_match,
+                                                 trunk.rpn_logits[0])
+        out["rpn_bbox_loss"] = L.rpn_bbox_loss(batch.rpn_match,
+                                               batch.rpn_deltas,
+                                               trunk.rpn_deltas[0])
+        pooled = pyramid_roi_align(tgt.rois, trunk.p2[0], trunk.p3[0],
+                                   cfg.pool_size)
+        logits, deltas_pred = apply_classifier(params["classifier"], pooled,
+                                               dtype=jnp.dtype(cfg.compute_dtype))
+        out["mrcnn_class_loss"] = L.mrcnn_class_loss(tgt.class_ids,
+                                                     tgt.roi_valid, logits)
+        out["mrcnn_bbox_loss"] = L.mrcnn_bbox_loss(tgt.deltas, tgt.class_ids,
+                                                   tgt.roi_valid, deltas_pred)
+
+    if train_mask_branch:
+        crops = roi_align(batch.image[0], tgt.pos_rois,
+                          tuple(cfg.mask_pool_size))
+        mask_logits = apply_mask_head(
+            params["mask"], crops, stage=cfg.stage,
+            dropout_rate=cfg.unet_dropout_rate, dropout_key=k_drop,
+            dtype=jnp.dtype(cfg.compute_dtype))
+        out["mrcnn_mask_loss"] = L.mask_loss(tgt.masks, tgt.pos_valid,
+                                             mask_logits, cfg)
+        if edge_on:
+            mask_probs = jax.nn.softmax(mask_logits, axis=-1)
+            out["mrcnn_mask_edge_loss"] = L.mask_edge_loss(
+                tgt.masks, tgt.pos_valid, mask_probs, cfg,
+                per_class=(cfg.name == "lits"))
+
+    return L.weighted_total(out, cfg), out
+
+
+def make_train_step(cfg: Config, anchors):
+    """Returns (init_state_fn, jitted step_fn)."""
+    anchors = jnp.asarray(anchors)
+
+    def init_state(params) -> TrainState:
+        opt = make_optimizer(cfg, params)
+        return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    def step(state: TrainState, batch: TrainBatch, key):
+        opt = make_optimizer(cfg, state.params)
+
+        def loss_fn(p):
+            total, parts = train_forward(p, batch, anchors, cfg, key)
+            return total, parts
+
+        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        tmask = trainable_mask(state.params, cfg)
+        grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, tmask)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, tmask)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(parts, total_loss=total)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return init_state, jax.jit(step, donate_argnums=(0,))

@@ -1,0 +1,152 @@
+"""End-to-end training-step tests on the tiny config (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cfun_tpu.config import tiny_config
+from cfun_tpu.models import cfun
+from cfun_tpu.ops.anchors import config_anchors
+from cfun_tpu.train import losses as L
+from cfun_tpu.train.step import (TrainBatch, make_train_step, trainable_mask,
+                                 train_forward)
+from cfun_tpu.train.targets import build_rpn_targets, detection_targets
+
+
+def _make_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    d, h, w = cfg.image_shape
+    labels = np.zeros((d, h, w), np.int32)
+    # a synthetic "organ": nested boxes of classes 1..3
+    labels[8:24, 16:48, 16:48] = 1
+    labels[10:20, 20:40, 20:40] = 2
+    labels[12:16, 24:32, 24:32] = 3
+    image = rng.normal(size=(1, d, h, w, 1)).astype(np.float32)
+    image += 2.0 * (labels > 0)[None, ..., None]
+
+    gt_box = np.array([8, 16, 16, 24, 48, 48], np.float32)
+    anchors = config_anchors(cfg)
+    match, deltas = build_rpn_targets(anchors, gt_box, cfg,
+                                      np.random.default_rng(seed))
+    norm = np.array([d, h, w, d, h, w], np.float32)
+    return TrainBatch(
+        image=jnp.asarray(image),
+        rpn_match=jnp.asarray(match),
+        rpn_deltas=jnp.asarray(deltas),
+        gt_box_norm=jnp.asarray(gt_box / norm),
+        labels=jnp.asarray(labels),
+    )
+
+
+def test_rpn_targets_invariants():
+    cfg = tiny_config()
+    anchors = config_anchors(cfg)
+    gt_box = np.array([8, 16, 16, 24, 48, 48], np.float32)
+    match, deltas = build_rpn_targets(anchors, gt_box, cfg,
+                                      np.random.default_rng(0))
+    assert match.shape == (cfg.num_anchors,)
+    n_pos = int((match == 1).sum())
+    n_neg = int((match == -1).sum())
+    assert n_pos >= 1  # the GT box is always matched
+    assert n_pos <= cfg.rpn_train_anchors_per_image // 2
+    assert n_pos + n_neg <= cfg.rpn_train_anchors_per_image
+    # deltas nonzero only on positives
+    assert np.all(deltas[match != 1] == 0)
+    assert np.any(deltas[match == 1] != 0)
+
+
+def test_detection_targets_shapes_and_sampling():
+    cfg = tiny_config()
+    key = jax.random.PRNGKey(0)
+    n = 20
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray([0.25, 0.25, 0.25, 0.75, 0.75, 0.75], jnp.float32)
+    # half the proposals overlap the GT well, half don't
+    good = np.tile(np.array([0.26, 0.24, 0.25, 0.74, 0.73, 0.76]), (10, 1))
+    good += rng.normal(0, 0.01, good.shape)
+    bad = np.tile(np.array([0.0, 0.0, 0.0, 0.2, 0.2, 0.2]), (10, 1))
+    bad += np.abs(rng.normal(0, 0.01, bad.shape))
+    proposals = jnp.asarray(np.concatenate([good, bad]), jnp.float32)
+    labels = jnp.zeros((32, 64, 64), jnp.int32)
+
+    tgt = detection_targets(key, proposals, jnp.ones(n, bool), gt, labels, cfg)
+    p_cap = cfg.num_positive_rois
+    assert tgt.rois.shape == (cfg.train_rois_per_image, 6)
+    assert tgt.pos_rois.shape == (p_cap, 6)
+    assert tgt.masks.shape == (p_cap, cfg.num_classes, *cfg.mask_shape)
+    n_pos = int(np.asarray(tgt.pos_valid).sum())
+    assert n_pos == min(10, p_cap)
+    # negatives follow the 1:2 ratio rule: int(pos/ratio) - pos
+    want_neg = int(n_pos / cfg.roi_positive_ratio) - n_pos
+    n_neg = int(np.asarray(tgt.roi_valid).sum()) - n_pos
+    assert n_neg == min(want_neg, cfg.train_rois_per_image - p_cap)
+    # positive class ids are 1, negatives 0
+    ids = np.asarray(tgt.class_ids)
+    assert np.all(ids[:p_cap][np.asarray(tgt.pos_valid)] == 1)
+    assert np.all(ids[p_cap:] == 0)
+
+
+def test_detection_targets_no_positives():
+    cfg = tiny_config()
+    gt = jnp.asarray([0.4, 0.4, 0.4, 0.6, 0.6, 0.6], jnp.float32)
+    proposals = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.1, 0.1, 0.1]), (8, 1))
+    labels = jnp.zeros((32, 64, 64), jnp.int32)
+    tgt = detection_targets(jax.random.PRNGKey(0), proposals,
+                            jnp.ones(8, bool), gt, labels, cfg)
+    assert int(np.asarray(tgt.pos_valid).sum()) == 0
+    # no positives -> no negatives either (reference model.py:501)
+    assert int(np.asarray(tgt.roi_valid).sum()) == 0
+
+
+@pytest.mark.parametrize("stage", ["beginning", "finetune"])
+def test_train_forward_losses_finite(stage):
+    cfg = tiny_config(stage)
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    batch = _make_batch(cfg)
+    anchors = jnp.asarray(config_anchors(cfg))
+    total, parts = jax.jit(
+        train_forward, static_argnames=("cfg",))(
+            params, batch, anchors, cfg, jax.random.PRNGKey(1))
+    assert np.isfinite(float(total))
+    for k, v in parts.items():
+        assert np.isfinite(float(v)), k
+    if stage == "beginning":
+        assert float(parts["mrcnn_mask_edge_loss"]) == 0.0
+    else:
+        assert float(parts["mrcnn_mask_edge_loss"]) >= 0.0
+
+
+def test_train_step_updates_params_but_not_bn_stats():
+    cfg = tiny_config()
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    anchors = config_anchors(cfg)
+    init_state, step = make_train_step(cfg, anchors)
+    state = init_state(params)
+    batch = _make_batch(cfg)
+    # snapshot before stepping: the step donates its input state buffers
+    w0 = np.asarray(params["backbone"]["stem_conv"]["w"]).copy()
+
+    state2, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # a conv weight moved
+    w1 = np.asarray(state2.params["backbone"]["stem_conv"]["w"])
+    assert not np.allclose(w0, w1)
+    # frozen BN statistics did not move
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["backbone"]["stem_bn"]["mean"]),
+        np.zeros_like(w1[0, 0, 0, 0]))
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["backbone"]["stem_bn"]["var"]),
+        np.ones_like(w1[0, 0, 0, 0]))
+
+
+def test_losses_masked_means():
+    # rpn class loss ignores neutral anchors
+    logits = jnp.asarray([[10.0, -10.0], [0.0, 0.0], [-10.0, 10.0]])
+    match = jnp.asarray([-1, 0, 1], jnp.int8)
+    loss = float(L.rpn_class_loss(match, logits))
+    assert loss < 1e-3  # both non-neutral rows are confidently correct
+    # flipping the positive row's prediction raises the loss
+    bad = jnp.asarray([[10.0, -10.0], [0.0, 0.0], [10.0, -10.0]])
+    assert float(L.rpn_class_loss(match, bad)) > 1.0
