@@ -1,0 +1,193 @@
+"""Async host feeder: NIfTI decode, resample, augment, GT/RPN targets.
+
+The train loop consumes ready tensors; all host work runs in background
+threads with a bounded prefetch queue -- the LiTS worker-side pattern the
+survey flags as the better pipeline (SURVEY.md s3.4, LiTS_2017/model.py:
+1147-1248), replacing the heart variant's in-loop ``load_image_gt``
+(model.py:1597-1599).
+
+Heart molding (utils.py:389-393 + model.py:1902-1904): trilinear 'self'
+resize to (H, W, D) = (320, 320, 192), nearest for the mask, whole-volume
+z-score.  LiTS molding (LiTS_2017/model.py:1154-1233): inverted HU window to
+[0, 1], center-pad to PAD_IMAGE_SHAPE, nearest resize to IMAGE_SHAPE.
+
+Augmentation: one rotation angle per epoch (a reference quirk kept for
+parity, model.py:1555), applied slice-wise in the (H, W) plane with
+nearest-neighbor interpolation (imgaug Affine(order=0), model.py:1022).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from cfun_tpu.config import Config
+from cfun_tpu.data.resample import resize, rotate_hw
+from cfun_tpu.train.step import TrainBatch
+from cfun_tpu.train.targets import build_rpn_targets
+
+
+# ---------------------------------------------------------------------------
+# molding (shared with inference)
+# ---------------------------------------------------------------------------
+
+def np_mask_to_extended_bbox(labels_dhw: np.ndarray, frac: float = 0.05
+                             ) -> np.ndarray:
+    """Whole-organ bbox of nonzero labels, extended 5% per face
+    (model.py:1057-1075).  Returns [6] float (z1, y1, x1, z2, y2, x2)."""
+    nz = np.nonzero(labels_dhw > 0)
+    if nz[0].size == 0:
+        return np.zeros(6, np.float32)
+    lo = np.array([a.min() for a in nz], np.float64)
+    hi = np.array([a.max() + 1 for a in nz], np.float64)
+    size = hi - lo
+    lo = np.floor(np.maximum(lo - frac * size, 0))
+    hi = np.ceil(np.minimum(hi + frac * size, labels_dhw.shape))
+    return np.concatenate([lo, hi]).astype(np.float32)
+
+
+def normalize_intensity(image: np.ndarray, cfg: Config) -> np.ndarray:
+    """'zscore' (heart, model.py:1902-1904) or the LiTS inverted HU window
+    ``clip((x - 300) / -600, 0, 1)`` (LiTS_2017/model.py:1875-1886,
+    MIN/MAX bounds deliberately swapped in the reference)."""
+    image = image.astype(np.float32)
+    if cfg.intensity_norm == "hu_window":
+        mn, mx = cfg.hu_window  # (300, -300): inverted on purpose
+        out = (image - mn) / (mx - mn)
+        return np.clip(out, 0.0, 1.0)
+    std = image.std()
+    return (image - image.mean()) / (std if std > 0 else 1.0)
+
+
+def mold_volume(image_hwd: np.ndarray, cfg: Config,
+                mask_hwd: Optional[np.ndarray] = None):
+    """Host molding: [H, W, D(, 1)] -> device layout [D, H, W] float32 plus
+    window (voxel coords of the real image in the molded volume) and the
+    molded mask if given.
+
+    Heart: direct trilinear resize, window = full volume.  LiTS: HU window,
+    center-pad to cfg.pad_shape, nearest resize, window from pad offsets.
+    """
+    if image_hwd.ndim == 4:
+        image_hwd = image_hwd[..., 0]
+    d_t, h_t, w_t = cfg.image_shape
+
+    if cfg.pad_shape is not None:  # LiTS pad-then-resize molding
+        image_hwd = normalize_intensity(image_hwd, cfg)
+        pd, ph, pw = cfg.pad_shape  # (D, H, W) pad target
+        h0, w0, d0 = image_hwd.shape
+        oh, ow, od = max(0, (ph - h0) // 2), max(0, (pw - w0) // 2), max(0, (pd - d0) // 2)
+        padded = np.zeros((ph, pw, pd), np.float32)
+        padded[oh:oh + h0, ow:ow + w0, od:od + d0] = image_hwd[:ph - oh, :pw - ow, :pd - od]
+        molded = resize(padded, (h_t, w_t, d_t), order=0)
+        sh, sw, sd = h_t / ph, w_t / pw, d_t / pd
+        window = np.array([od * sd, oh * sh, ow * sw,
+                           (od + d0) * sd, (oh + h0) * sh, (ow + w0) * sw],
+                          np.float32)
+        molded_mask = None
+        if mask_hwd is not None:
+            pm = np.zeros((ph, pw, pd), mask_hwd.dtype)
+            pm[oh:oh + h0, ow:ow + w0, od:od + d0] = mask_hwd[:ph - oh, :pw - ow, :pd - od]
+            molded_mask = np.rint(resize(pm, (h_t, w_t, d_t), order=0)).astype(np.int32)
+    else:  # heart 'self' molding
+        molded = resize(image_hwd.astype(np.float32), (h_t, w_t, d_t), order=1)
+        window = np.array([0, 0, 0, d_t, h_t, w_t], np.float32)
+        molded_mask = None
+        if mask_hwd is not None:
+            molded_mask = np.rint(
+                resize(mask_hwd, (h_t, w_t, d_t), order=0)).astype(np.int32)
+
+    out_mask = molded_mask.transpose(2, 0, 1) if molded_mask is not None else None
+    return molded.transpose(2, 0, 1), window, out_mask  # [D, H, W]
+
+
+# ---------------------------------------------------------------------------
+# training feeder
+# ---------------------------------------------------------------------------
+
+class TrainFeeder:
+    """Bounded-prefetch threaded feeder producing :class:`TrainBatch` items."""
+
+    def __init__(self, dataset, cfg: Config, anchors: np.ndarray,
+                 seed: int = 0, num_workers: int = 8, prefetch: int = 8):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.anchors = anchors
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self._lock = threading.Lock()
+
+    def make_item(self, image_id: int, angle: float,
+                  seed: int) -> TrainBatch:
+        cfg = self.cfg
+        image = self.dataset.load_image(image_id)  # [H, W, D, 1]
+        mask = self.dataset.load_mask(image_id)    # [H, W, D]
+
+        if cfg.pad_shape is None:
+            # heart path: mold first (matches dataset __getitem__,
+            # model.py:1211-1235), rotate after resize (load_image_gt)
+            molded, _window, labels = mold_volume(image, cfg, mask)
+            if angle != 0.0:
+                # rotate in the (H, W) plane: device layout is [D, H, W]
+                molded = rotate_hw(molded.transpose(1, 2, 0), angle,
+                                   order=0).transpose(2, 0, 1)
+                labels = rotate_hw(labels.transpose(1, 2, 0), angle,
+                                   order=0).transpose(2, 0, 1)
+            molded = normalize_intensity(molded, cfg)
+        else:
+            # LiTS path: rotate the raw volume, then pad+resize molding
+            img = image[..., 0]
+            if angle != 0.0:
+                img = rotate_hw(img, angle, order=0)
+                mask = rotate_hw(mask, angle, order=0)
+            molded, _window, labels = mold_volume(img[..., None], cfg, mask)
+
+        gt_box = np_mask_to_extended_bbox(labels)
+        rng = np.random.default_rng(seed)
+        rpn_match, rpn_deltas = build_rpn_targets(self.anchors, gt_box,
+                                                  cfg, rng)
+        d, h, w = cfg.image_shape
+        norm = np.array([d, h, w, d, h, w], np.float32)
+        return TrainBatch(
+            image=molded[None, ..., None].astype(np.float32),
+            rpn_match=rpn_match,
+            rpn_deltas=rpn_deltas,
+            gt_box_norm=(gt_box / norm).astype(np.float32),
+            labels=labels.astype(np.int32),
+        )
+
+    def epoch(self, angle: float, steps: int) -> Iterator[TrainBatch]:
+        """Yield ``steps`` batches, cycling a fresh shuffle of the dataset."""
+        with self._lock:
+            ids = []
+            while len(ids) < steps:
+                perm = self._rng.permutation(self.dataset.num_images)
+                ids.extend(perm.tolist())
+            ids = ids[:steps]
+            seeds = self._rng.integers(0, 2**31 - 1, size=steps)
+
+        futures = deque()
+        it = iter(zip(ids, seeds))
+        try:
+            for _ in range(min(self.prefetch, steps)):
+                i, s = next(it)
+                futures.append(self._pool.submit(self.make_item, i, angle, int(s)))
+            while futures:
+                yield futures.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    futures.append(
+                        self._pool.submit(self.make_item, nxt[0], angle,
+                                          int(nxt[1])))
+        finally:
+            for f in futures:
+                f.cancel()
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)

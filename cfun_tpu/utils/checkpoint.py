@@ -1,0 +1,92 @@
+"""Checkpoint / resume for parameter + optimizer pytrees.
+
+Improves on the reference, which saves only ``state_dict`` every 5 epochs
+with the loss baked into the filename and never restores the optimizer or
+epoch counter (model.py:1563-1570, SURVEY.md s5).  Here: a single
+``.npz`` with '/'-joined tree paths plus a JSON metadata record (epoch,
+step, config name/stage), and optional optimizer-state leaves restored
+against a freshly-built template -- fully deterministic, no pickling.
+
+Partial (key-filtered) loading supports LiTS-style stage transfer
+(LiTS_2017/model.py:1358-1371).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save(path: str, params, epoch: int = 0, step: int = 0,
+         opt_state: Any = None, meta: Optional[Dict] = None) -> None:
+    arrays = {f"params/{k}": v for k, v in _flatten(params).items()}
+    if opt_state is not None:
+        opt_leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(opt_leaves):
+            arrays[f"opt/{i}"] = np.asarray(leaf)
+    info = {"epoch": int(epoch), "step": int(step)}
+    info.update(meta or {})
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(info).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def load(path: str, params_template, opt_template: Any = None,
+         strict: bool = True) -> Tuple[Any, Any, Dict]:
+    """Restore (params, opt_state, meta) shaped like the given templates.
+
+    strict=False key-filters like the LiTS loader: tree leaves missing from
+    the checkpoint keep their template values.
+    """
+    if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["__meta__"].tobytes()).decode()) \
+            if "__meta__" in data else {}
+        stored = {k[len("params/"):]: data[k] for k in data.files
+                  if k.startswith("params/")}
+
+        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(
+            params_template)
+        new_leaves = []
+        for p, leaf in leaves_with_path:
+            key = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
+                           for q in p)
+            if key in stored:
+                arr = stored[key]
+                if arr.shape != np.shape(leaf):
+                    if strict:
+                        raise ValueError(
+                            f"shape mismatch for {key}: {arr.shape} vs "
+                            f"{np.shape(leaf)}")
+                    arr = np.asarray(leaf)
+                new_leaves.append(arr)
+            else:
+                if strict:
+                    raise KeyError(f"missing checkpoint key: {key}")
+                new_leaves.append(np.asarray(leaf))
+        params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+        opt_state = opt_template
+        opt_keys = sorted((k for k in data.files if k.startswith("opt/")),
+                          key=lambda k: int(k.split("/")[1]))
+        if opt_template is not None and opt_keys:
+            leaves, opt_def = jax.tree_util.tree_flatten(opt_template)
+            if len(leaves) == len(opt_keys):
+                opt_state = jax.tree_util.tree_unflatten(
+                    opt_def, [data[k] for k in opt_keys])
+    return params, opt_state, meta

@@ -1,0 +1,174 @@
+"""NIfTI IO roundtrip, host resampling, feeder, checkpoint tests."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from cfun_tpu.config import tiny_config
+from cfun_tpu.data import nifti
+from cfun_tpu.data.feeder import (TrainFeeder, mold_volume,
+                                  np_mask_to_extended_bbox,
+                                  normalize_intensity)
+from cfun_tpu.data.resample import resize, rotate_hw, unmold_mask_labels
+from cfun_tpu.models import cfun
+from cfun_tpu.ops.anchors import config_anchors
+from cfun_tpu.utils import checkpoint
+from cfun_tpu.utils.metrics import per_class_dice, per_class_mask_iou
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    for suffix in (".nii", ".nii.gz"):
+        vol = rng.integers(-500, 2000, size=(17, 23, 11)).astype(np.int16)
+        affine = np.diag([0.8, 0.8, 1.5, 1.0])
+        affine[:3, 3] = [-100, -80, 40]
+        path = str(tmp_path / f"vol{suffix}")
+        nifti.save(path, vol, affine)
+        data, aff = nifti.load(path)
+        np.testing.assert_array_equal(data, vol)
+        np.testing.assert_allclose(aff, affine, atol=1e-5)
+
+
+def test_nifti_float_and_int32(tmp_path):
+    vol = np.random.default_rng(1).normal(size=(8, 9, 10)).astype(np.float32)
+    path = str(tmp_path / "f.nii.gz")
+    nifti.save(path, vol)
+    data, _ = nifti.load(path)
+    np.testing.assert_allclose(data, vol, rtol=1e-6)
+    ivol = np.arange(4 * 5 * 6, dtype=np.int32).reshape(4, 5, 6)
+    nifti.save(str(tmp_path / "i.nii"), ivol)
+    data, _ = nifti.load(str(tmp_path / "i.nii"))
+    np.testing.assert_array_equal(data, ivol)
+
+
+def test_resize_preserves_constant_and_is_fast():
+    vol = np.full((64, 64, 32), 3.25, np.float32)
+    out = resize(vol, (32, 48, 16), order=1)
+    np.testing.assert_allclose(out, 3.25, rtol=1e-6)
+    m = np.zeros((20, 20, 20), np.int32)
+    m[5:15, 5:15, 5:15] = 2
+    out = resize(m, (10, 10, 10), order=0)
+    assert set(np.unique(out)) <= {0, 2}
+
+
+def test_rotate_hw_identity_and_90():
+    vol = np.random.default_rng(2).normal(size=(16, 16, 4)).astype(np.float32)
+    np.testing.assert_array_equal(rotate_hw(vol, 0.0), vol)
+    r90 = rotate_hw(vol, 90.0, order=0)
+    assert r90.shape == vol.shape
+    # rotating +90 then -90 with nearest recovers the interior
+    back = rotate_hw(r90, -90.0, order=0)
+    inner = (slice(4, 12), slice(4, 12))
+    np.testing.assert_allclose(back[inner], vol[inner], atol=1e-5)
+
+
+def test_mask_to_extended_bbox():
+    labels = np.zeros((32, 64, 64), np.int32)
+    labels[10:20, 20:40, 24:44] = 1
+    box = np_mask_to_extended_bbox(labels)
+    # size (10, 20, 20), 5% -> floor/ceil
+    np.testing.assert_allclose(box, [9, 19, 23, 21, 41, 45])
+    assert np.all(np_mask_to_extended_bbox(np.zeros((4, 4, 4))) == 0)
+
+
+def test_normalize_intensity_modes():
+    cfg = tiny_config()
+    x = np.random.default_rng(3).normal(5, 10, size=(8, 8, 8)).astype(np.float32)
+    z = normalize_intensity(x, cfg)
+    assert abs(z.mean()) < 1e-4 and abs(z.std() - 1) < 1e-3
+    cfg_l = cfg.replace(intensity_norm="hu_window")
+    hw = normalize_intensity(np.array([300.0, 0.0, -300.0, 999.0]), cfg_l)
+    np.testing.assert_allclose(hw, [0.0, 0.5, 1.0, 0.0])  # inverted window
+
+
+def test_unmold_mask_labels():
+    probs = np.zeros((4, 4, 4, 3), np.float32)
+    probs[..., 1] = 1.0  # class 1 everywhere in the crop
+    out = unmold_mask_labels(probs, np.array([2, 2, 2, 6, 6, 6]), (8, 8, 8))
+    assert out.shape == (8, 8, 8)
+    assert np.all(out[2:6, 2:6, 2:6] == 1)
+    assert out.sum() == 4 * 4 * 4
+
+
+def test_metrics_hand_case():
+    gt = np.zeros((4, 4, 4), np.int32)
+    pr = np.zeros((4, 4, 4), np.int32)
+    gt[:2], pr[:2] = 1, 1
+    gt[2], pr[2] = 2, 0
+    iou = per_class_mask_iou(gt, pr, 3)
+    np.testing.assert_allclose(iou, [1.0, 0.0], atol=1e-5)
+    dice = per_class_dice(gt, pr, 3)
+    np.testing.assert_allclose(dice, [1.0, 0.0], atol=1e-5)
+
+
+class _SynthDataset:
+    """In-memory dataset with one synthetic labeled volume."""
+
+    num_images = 2
+
+    def __init__(self, shape_hwd=(64, 64, 32)):
+        rng = np.random.default_rng(0)
+        h, w, d = shape_hwd
+        self.image = rng.normal(size=(h, w, d)).astype(np.float32)
+        self.mask = np.zeros((h, w, d), np.int32)
+        self.mask[16:48, 16:48, 8:24] = 1
+        self.mask[24:40, 24:40, 12:20] = 2
+        self.image += 2.0 * (self.mask > 0)
+
+    def load_image(self, image_id):
+        return self.image[..., None]
+
+    def load_mask(self, image_id):
+        return self.mask
+
+
+def test_feeder_produces_valid_batches():
+    cfg = tiny_config()
+    anchors = config_anchors(cfg)
+    ds = _SynthDataset()
+    feeder = TrainFeeder(ds, cfg, anchors, seed=0, num_workers=2, prefetch=2)
+    batches = list(feeder.epoch(angle=10.0, steps=3))
+    feeder.close()
+    assert len(batches) == 3
+    b = batches[0]
+    assert b.image.shape == (1, *cfg.image_shape, 1)
+    assert b.rpn_match.shape == (cfg.num_anchors,)
+    assert b.labels.shape == cfg.image_shape
+    assert (b.rpn_match == 1).sum() >= 1
+    assert np.all(b.gt_box_norm >= 0) and np.all(b.gt_box_norm <= 1)
+    assert b.gt_box_norm[3] > b.gt_box_norm[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, params, epoch=7, step=315)
+    zeroed = jax.tree.map(lambda x: np.zeros_like(x), params)
+    restored, _, meta = checkpoint.load(path, zeroed)
+    assert meta["epoch"] == 7 and meta["step"] == 315
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(restored)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_partial_load(tmp_path):
+    cfg = tiny_config()
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt.npz")
+    # save only the mask branch (stage-transfer scenario)
+    checkpoint.save(path, {"mask": params["mask"]})
+    template = cfun.init_params(jax.random.PRNGKey(1), cfg)
+    with pytest.raises(KeyError):
+        checkpoint.load(path, template, strict=True)
+    restored, _, _ = checkpoint.load(path, template, strict=False)
+    np.testing.assert_array_equal(
+        np.asarray(restored["mask"]["unet"]["c1_1"]["w"]),
+        np.asarray(params["mask"]["unet"]["c1_1"]["w"]))
+    # untouched subtree keeps template values
+    np.testing.assert_array_equal(
+        np.asarray(restored["rpn"]["shared"]["w"]),
+        np.asarray(template["rpn"]["shared"]["w"]))

@@ -1,0 +1,29 @@
+"""End-to-end Detector test: raw synthetic volume in, label volume out."""
+
+import numpy as np
+import jax
+
+from cfun_tpu.config import tiny_config
+from cfun_tpu.inference import Detector
+from cfun_tpu.models import cfun
+
+
+def test_detector_end_to_end():
+    cfg = tiny_config(stage="beginning").replace(detection_max_instances=1)
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    det = Detector(cfg, params)
+
+    rng = np.random.default_rng(0)
+    image = rng.normal(size=(80, 96, 40)).astype(np.float32)  # [H, W, D]
+    result = det.detect(image)
+
+    assert result["mask"].shape == (80, 96, 40)
+    assert result["class_ids"].tolist() == list(
+        range(1, cfg.num_classes))
+    assert result["rois"].shape[1] == 6
+    assert result["scores"].shape[0] == result["rois"].shape[0]
+    assert set(np.unique(result["mask"])) <= set(range(cfg.num_classes))
+    assert det.last_timings["total"] > 0
+    # idempotent second call (jit cache hit)
+    result2 = det.detect(image)
+    np.testing.assert_array_equal(result["mask"], result2["mask"])
