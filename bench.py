@@ -1,0 +1,74 @@
+"""Headline benchmark: per-volume whole-heart inference latency.
+
+Runs the FULL inference pipeline (host mold -> jit'd detect+segment XLA
+program -> host unmold) of the flagship heart model on a synthetic
+512x512x300 CT volume with an embedded organ, on whatever accelerator is
+available (one TPU chip under the driver).
+
+Baseline: the reference's published "< 15 s to generate a segment result"
+on a 12 GB GPU (reference README.md:45; BASELINE.md).  ``vs_baseline`` is
+the speedup factor (15 s / measured seconds).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_SECONDS = 15.0
+
+
+def synth_volume(h=512, w=512, d=300, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vol = rng.normal(0.0, 50.0, size=(h, w, d)).astype(np.float32)
+    # an ellipsoidal bright "heart" off-center
+    yy, xx, zz = np.meshgrid(np.arange(h), np.arange(w), np.arange(d),
+                             indexing="ij")
+    organ = (((yy - 250) / 90.0) ** 2 + ((xx - 270) / 95.0) ** 2 +
+             ((zz - 150) / 60.0) ** 2) < 1.0
+    vol[organ] += 400.0
+    return vol
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from cfun_tpu.config import heart_inference_config
+    from cfun_tpu.inference import Detector
+    from cfun_tpu.models import cfun
+
+    cfg = heart_inference_config("beginning")
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    det = Detector(cfg, params)
+
+    vol = synth_volume()
+    det.detect(vol)  # compile + warm caches (host and device)
+    det.detect(vol)
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        det.detect(vol)
+        times.append(time.perf_counter() - t0)
+    latency = float(np.median(times))
+
+    print(json.dumps({
+        "metric": "whole_heart_infer_latency",
+        "value": round(latency, 4),
+        "unit": "s/volume",
+        "vs_baseline": round(BASELINE_SECONDS / latency, 2),
+        "baseline_s": BASELINE_SECONDS,
+        "breakdown": {k: round(v, 4) for k, v in det.last_timings.items()},
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

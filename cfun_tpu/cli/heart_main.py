@@ -1,0 +1,151 @@
+"""Whole-heart (MM-WHS 2017) train / test CLI.
+
+Command-compatible with the reference's ``heart_main.py`` (argparse surface
+heart_main.py:367-446):
+
+    python -m cfun_tpu.cli.heart_main train --weights none --stage beginning \
+        --data /path/to/data/ [--logs ./logs/]
+    python -m cfun_tpu.cli.heart_main test --weights ckpt.npz --stage finetune \
+        --data /path/to/data/ [--limit 5 --save true --bbox false]
+
+``test`` runs the full inference stack on labeled volumes, reports per-class
+mask IoU (and Dice -- the paper's headline metric) plus per-volume latency,
+and optionally exports predicted label volumes as .nii.gz with the GT affine
+into ./results (heart_main.py:286-360).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def draw_bbox_wireframe(mask: np.ndarray, roi, value: int = 10) -> None:
+    """Draw the detection box edges into the mask in-place
+    (heart_main.py:335-348).  roi: (y1, x1, z1, y2, x2, z2)."""
+    y1, x1, z1, y2, x2, z2 = [int(v) for v in roi]
+    h, w, d = mask.shape
+    y1, y2 = np.clip([y1, y2], 0, h - 1)
+    x1, x2 = np.clip([x1, x2], 0, w - 1)
+    z1, z2 = np.clip([z1, z2], 0, d - 1)
+    for y in (y1, y2):
+        for z in (z1, z2):
+            mask[y, x1:x2, z] = value
+    for x in (x1, x2):
+        for z in (z1, z2):
+            mask[y1:y2, x, z] = value
+    for y in (y1, y2):
+        for x in (x1, x2):
+            mask[y, x, z1:z2] = value
+
+
+def run_test(cfg, params, data_dir: str, limit: int, save: bool,
+             bbox: bool, results_dir: str = "./results"):
+    import json
+
+    from cfun_tpu.data import nifti
+    from cfun_tpu.inference import Detector
+    from cfun_tpu.utils.metrics import per_class_dice, per_class_mask_iou
+
+    detector = Detector(cfg, params)
+    with open(os.path.join(data_dir, "dataset.json")) as f:
+        info = list(json.load(f)["train_and_test"])
+
+    from cfun_tpu.data.datasets import _resolve
+    per_class_ious, per_class_dices = [], []
+    detect_time = 0.0
+    for item in info[:limit]:
+        image, _ = nifti.load(_resolve(data_dir, item["image"]))
+        label, affine = nifti.load(_resolve(data_dir, item["label"]))
+        t0 = time.time()
+        result = detector.detect(image.astype(np.float32))
+        dt = time.time() - t0
+        detect_time += dt
+        print(f"detect_time: {dt:.3f}s  breakdown: "
+              f"{ {k: round(v, 3) for k, v in detector.last_timings.items()} }")
+
+        mask = result["mask"]
+        iou = per_class_mask_iou(label, mask, cfg.num_classes)
+        dice = per_class_dice(label, mask, cfg.num_classes)
+        per_class_ious.append(iou)
+        per_class_dices.append(dice)
+        name = os.path.basename(item["image"])
+        print(f"{name} detected done. iou = {iou}")
+
+        if save:
+            if bbox and result["rois"].shape[0] > 0:
+                draw_bbox_wireframe(mask, result["rois"][0])
+            os.makedirs(results_dir, exist_ok=True)
+            nifti.save(os.path.join(
+                results_dir, f"{iou.mean():.4f}_{name}"),
+                mask.astype(np.int32), affine)
+
+    per_class_ious = np.array(per_class_ious)
+    per_class_dices = np.array(per_class_dices)
+    print("Test completed.")
+    print("per class iou mean:", per_class_ious.mean(axis=0))
+    print("std:", per_class_ious.std(axis=0))
+    print("Total ious mean:", per_class_ious.mean())
+    print("per class dice mean:", per_class_dices.mean(axis=0))
+    print("Total dice mean:", per_class_dices.mean())
+    print("Total detect time:", detect_time)
+    return per_class_ious, per_class_dices
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train/test the TPU-native CFUN whole-heart pipeline.")
+    parser.add_argument("command", metavar="<command>",
+                        help="'train' or 'test'")
+    parser.add_argument("--weights", required=True,
+                        help="Path to a .npz checkpoint, or 'none'")
+    parser.add_argument("--stage", required=True,
+                        choices=["beginning", "finetune"])
+    parser.add_argument("--logs", default="./logs/")
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--limit", default=5, type=int)
+    parser.add_argument("--save", default="true")
+    parser.add_argument("--bbox", default="false")
+    parser.add_argument("--epochs", default=None, type=int)
+    parser.add_argument("--workers", default=8, type=int)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from cfun_tpu.config import heart_config, heart_inference_config
+    from cfun_tpu.data.datasets import HeartDataset
+    from cfun_tpu.models import cfun
+    from cfun_tpu.utils import checkpoint
+
+    if args.command == "train":
+        cfg = heart_config(args.stage)
+        train_ds = HeartDataset()
+        train_ds.load_heart(args.data, "train")
+        train_ds.prepare()
+        val_ds = HeartDataset()
+        val_ds.load_heart(args.data, "val")
+        val_ds.prepare()
+        from cfun_tpu.train.loop import train_model
+        print("Training...")
+        train_model(cfg, train_ds, val_ds, log_dir=args.logs,
+                    weights=args.weights, epochs=args.epochs,
+                    num_workers=args.workers)
+    elif args.command == "test":
+        cfg = heart_inference_config(args.stage)
+        params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+        if args.weights.lower() != "none":
+            params, _, _ = checkpoint.load(args.weights, params, strict=False)
+            print("Weights loaded:", args.weights)
+        print("Testing...")
+        run_test(cfg, params, args.data, args.limit,
+                 args.save.lower() == "true", args.bbox.lower() == "true")
+    else:
+        parser.error(f"'{args.command}' is not recognized. "
+                     "Use 'train' or 'test'")
+
+
+if __name__ == "__main__":
+    main()

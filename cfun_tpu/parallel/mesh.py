@@ -1,0 +1,117 @@
+"""Mesh construction and the data+spatial-parallel training step.
+
+Design (SURVEY.md s2.4 "TPU-native equivalents"): a 2D logical mesh
+
+    ('data', 'space')
+
+* 'data'  -- batch (whole volumes) sharding: pure data parallelism.  The
+  reference emulates batches by gradient accumulation on one GPU
+  (model.py:1642-1645); here every mesh row trains a different volume.
+* 'space' -- the molded volume's H axis is sharded across chips; XLA GSPMD
+  materializes the halo exchanges that 3D convolutions need at shard edges
+  over ICI.  This is the volumetric stand-in for sequence/context
+  parallelism: it lets one logical step hold volumes / mask crops larger
+  than a single chip's HBM.
+
+Parameters and optimizer state stay replicated (the model is ~10M params;
+FSDP-style sharding is unnecessary at this width).  Gradients are averaged
+over 'data' by the jit'd program itself (mean over the stacked batch +
+sharding propagation -> psum over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cfun_tpu.config import Config
+from cfun_tpu.train.step import (TrainBatch, TrainState, make_optimizer,
+                                 train_forward, trainable_mask)
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              space: Optional[int] = None) -> Mesh:
+    """Build a ('data', 'space') mesh over the first n devices.
+
+    ``space`` defaults to 2 when the device count is even (so both axes are
+    exercised), else 1.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if space is None:
+        space = 2 if n % 2 == 0 and n > 1 else 1
+    data = n // space
+    assert data * space == n, f"{n} devices != {data} x {space}"
+    arr = np.asarray(devices[:n]).reshape(data, space)
+    return Mesh(arr, ("data", "space"))
+
+
+def batch_sharding(mesh: Mesh) -> TrainBatch:
+    """Shardings for a stacked TrainBatch (leading axis = volumes).
+
+    image [B, 1, D, H, W, 1]: B over 'data', H over 'space'.
+    labels [B, D, H, W]: likewise (crop gathers re-shard as needed).
+    Dense anchor targets shard over B only.
+    """
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return TrainBatch(
+        image=s("data", None, None, "space", None, None),
+        rpn_match=s("data", None),
+        rpn_deltas=s("data", None, None),
+        gt_box_norm=s("data", None),
+        labels=s("data", None, "space", None),
+    )
+
+
+def stack_batches(batches) -> TrainBatch:
+    """Stack per-volume TrainBatch items along a new leading axis."""
+    return TrainBatch(*(np.stack(x) for x in zip(*batches)))
+
+
+def make_parallel_train_step(cfg: Config, anchors, mesh: Mesh):
+    """(init_state, step) where step consumes a stacked TrainBatch of
+    ``mesh.shape['data']`` volumes and performs one psum-mean SGD update."""
+    anchors = jnp.asarray(anchors)
+    repl = NamedSharding(mesh, P())
+    bshard = batch_sharding(mesh)
+
+    def init_state(params) -> TrainState:
+        opt = make_optimizer(cfg, params)
+        params = jax.device_put(params, repl)
+        return TrainState(params, jax.device_put(opt.init(params), repl),
+                          jnp.zeros((), jnp.int32))
+
+    def batched_loss(params, batch: TrainBatch, key):
+        keys = jax.random.split(key, batch.image.shape[0])
+        totals, parts = jax.vmap(
+            lambda b, k: train_forward(params, b, anchors, cfg, k)
+        )(batch, keys)
+        return jnp.mean(totals), jax.tree.map(jnp.mean, parts)
+
+    def step(state: TrainState, batch: TrainBatch, key):
+        opt = make_optimizer(cfg, state.params)
+        (total, parts), grads = jax.value_and_grad(
+            batched_loss, has_aux=True)(state.params, batch, key)
+        tmask = trainable_mask(state.params, cfg)
+        grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, tmask)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, tmask)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = dict(parts, total_loss=total)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    step_jit = jax.jit(
+        step,
+        in_shardings=(repl, bshard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    return init_state, step_jit
