@@ -183,6 +183,13 @@ def lits_config(stage: str = "beginning", **overrides) -> Config:
         backbone="P3D35",  # bottleneck depths (4, 5) (LiTS_2017/backbone.py:166-175)
         backbone_channels=(24, 48),
         backbone_stem_kernel=(5, 7, 7),  # LiTS_2017/backbone.py:124
+        fpn_channels=160,  # LiTS_2017/LiTS_main.py:105
+        rpn_conv_channels=320,
+        fc_size=320,
+        unet_base_channels=32,
+        post_nms_rois_inference=50,
+        steps_per_epoch=100,
+        validation_steps=20,
         train_rois_per_image=stage_rois,
         roi_positive_ratio=stage_ratio,
         mask_pool_size=(32, 80, 80),  # LiTS_2017/LiTS_main.py:142
@@ -192,15 +199,20 @@ def lits_config(stage: str = "beginning", **overrides) -> Config:
         mask_class_weights=(1.0, 1.0, 100.0),  # LiTS_2017/model.py:926-927
         augment_rotate_degrees=30.0,
         unet_dropout_rate=0.0,  # dropout disabled (LiTS_2017/mask_branch.py:19,130)
-        loss_weights=(
+        loss_weights=(  # LiTS_2017/LiTS_main.py:163-170
             ("rpn_class_loss", 50.0),
-            ("rpn_bbox_loss", 50.0),
+            ("rpn_bbox_loss", 5.0),
             ("mrcnn_class_loss", 50.0),
-            ("mrcnn_bbox_loss", 20.0),
+            ("mrcnn_bbox_loss", 5.0),
             ("mrcnn_mask_loss", 2.0),
             ("mrcnn_mask_edge_loss", 0.25),
         ),
     ).replace(**overrides)
+
+
+def lits_inference_config(stage: str = "finetune", **overrides) -> Config:
+    """LiTS inference override (LiTS_2017/LiTS_main.py:446-451)."""
+    return lits_config(stage, detection_max_instances=10).replace(**overrides)
 
 
 def tiny_config(stage: str = "beginning", **overrides) -> Config:

@@ -97,29 +97,23 @@ class HeartDataset(Dataset):
 
 
 class LiTSDataset(Dataset):
-    """LiTS 2017 liver/tumor dataset over preprocessed .npy volumes
-    (LiTS_2017/preprocessing.py caches spacing-resampled arrays)."""
+    """LiTS 2017 liver/tumor dataset over the preprocessed .npy cache
+    (LiTS_2017/preprocessing.py + LiTS_main.py:183-260: spacing-resampled
+    arrays under image_np/ and label_np/; split train = volumes 0..110,
+    val = 111..130)."""
 
-    def load_lits(self, data_dir: str, subset: str, val_size: int = 15) -> None:
-        assert subset in ("train", "val", "all", "test")
+    def load_lits(self, data_dir: str, subset: str) -> None:
+        assert subset in ("train", "val", "all")
         self.add_class("lits", 1, "liver")
         self.add_class("lits", 2, "tumor")
-        images = sorted(
-            f for f in os.listdir(data_dir)
-            if f.startswith("volume") and f.endswith(".npy"))
-        items = []
-        for f in images:
-            seg = f.replace("volume", "segmentation")
-            items.append((f, seg if os.path.exists(
-                os.path.join(data_dir, seg)) else None))
-        if subset == "train":
-            items = items[val_size:]
-        elif subset == "val":
-            items = items[:val_size]
-        for img, seg in items:
-            self.add_image("lits", image_id=img,
-                           path=os.path.join(data_dir, img),
-                           mask=os.path.join(data_dir, seg) if seg else None)
+        ranges = {"train": range(0, 111), "val": range(111, 131),
+                  "all": range(0, 131)}[subset]
+        for i in ranges:
+            img = os.path.join(data_dir, "image_np", f"liver_{i}.npy")
+            lbl = os.path.join(data_dir, "label_np", f"liver_label_{i}.npy")
+            if not os.path.exists(img):
+                continue
+            self.add_image("lits", image_id=i, path=img, mask=lbl)
 
     def load_image(self, image_id: int) -> np.ndarray:
         return np.expand_dims(

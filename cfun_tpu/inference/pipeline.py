@@ -25,9 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cfun_tpu import native
 from cfun_tpu.config import Config
 from cfun_tpu.data.feeder import mold_volume, normalize_intensity
-from cfun_tpu.data.resample import unmold_mask_labels
+from cfun_tpu.data.resample import unmold_mask_labels, unmold_overlap_labels
 from cfun_tpu.models import cfun
 from cfun_tpu.ops.anchors import config_anchors
 
@@ -55,9 +56,17 @@ class Detector:
         """image_hwd: [H, W, D] or [H, W, D, 1] raw volume."""
         cfg = self.cfg
         t0 = time.perf_counter()
-        molded, window, _ = mold_volume(image_hwd, cfg)
-        if cfg.pad_shape is None:
-            molded = normalize_intensity(molded, cfg)
+        if cfg.pad_shape is None and native.available():
+            if image_hwd.ndim == 4:
+                image_hwd = image_hwd[..., 0]
+            molded = native.mold_resize(image_hwd, cfg.image_shape,
+                                        normalize=True)
+            d, h, w = cfg.image_shape
+            window = np.array([0, 0, 0, d, h, w], np.float32)
+        else:
+            molded, window, _ = mold_volume(image_hwd, cfg)
+            if cfg.pad_shape is None:
+                molded = normalize_intensity(molded, cfg)
         t1 = time.perf_counter()
 
         out = self._infer(self.params,
@@ -106,9 +115,16 @@ class Detector:
         masks = mask_probs[:n][good]
 
         if boxes.shape[0] > 0:
-            boxes = np.clip(boxes, 0,
-                            np.array([d0, h0, w0, d0, h0, w0]) - 0)
-            full = unmold_mask_labels(masks[0], boxes[0], (d0, h0, w0))
+            boxes = np.clip(boxes, 0, np.array([d0, h0, w0, d0, h0, w0]))
+            if cfg.name == "lits":
+                # overlap-tile averaging over ALL detections
+                # (LiTS_2017/utils.py:383-408)
+                full = unmold_overlap_labels(masks, boxes, (d0, h0, w0))
+            else:
+                # single-box paste (heart, model.py:1856-1858)
+                full = native.unmold_argmax(masks[0], boxes[0], (d0, h0, w0))
+                if full is None:
+                    full = unmold_mask_labels(masks[0], boxes[0], (d0, h0, w0))
         else:
             full = np.zeros((d0, h0, w0), np.int16)
 

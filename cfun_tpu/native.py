@@ -1,0 +1,87 @@
+"""ctypes bindings for the native host-ops library, with NumPy fallbacks.
+
+The C++/OpenMP kernels (native/host_ops.cc) cover the two host-side
+hotspots of the inference pipeline: the mold resize (fused trilinear +
+z-score, emitting device [D, H, W] layout directly) and the mask unmold
+(fused trilinear-resample + channel argmax).  If the shared library is
+missing it is built on first use when a toolchain is available; otherwise
+the pure-NumPy paths in :mod:`cfun_tpu.data.resample` are used.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "libcfun_host.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        build = os.path.join(os.path.dirname(_LIB_PATH), "build.sh")
+        try:
+            subprocess.run(["sh", build], check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.mold_resize_f32.argtypes = [f32p] + [ctypes.c_int] * 3 + [f32p] + \
+        [ctypes.c_int] * 4
+    lib.mold_resize_f32.restype = None
+    lib.unmold_argmax_f32.argtypes = [f32p] + [ctypes.c_int] * 4 + [i16p] + \
+        [ctypes.c_int] * 9
+    lib.unmold_argmax_f32.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def mold_resize(src_hwd: np.ndarray, out_shape_dhw, normalize: bool
+                ) -> Optional[np.ndarray]:
+    """[H, W, D] float -> [Dt, Ht, Wt] molded (optionally z-scored) volume,
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src_hwd, np.float32)
+    dt, ht, wt = out_shape_dhw
+    dst = np.empty((dt, ht, wt), np.float32)
+    h0, w0, d0 = src.shape
+    lib.mold_resize_f32(src, h0, w0, d0, dst, dt, ht, wt, int(normalize))
+    return dst
+
+
+def unmold_argmax(crop_probs: np.ndarray, box, out_shape_dhw
+                  ) -> Optional[np.ndarray]:
+    """[mD, mH, mW, C] probs + integer box -> [D0, H0, W0] int16 labels,
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    probs = np.ascontiguousarray(crop_probs, np.float32)
+    md, mh, mw, c = probs.shape
+    od, oh, ow = out_shape_dhw
+    out = np.zeros((od, oh, ow), np.int16)
+    z1, y1, x1, z2, y2, x2 = [int(v) for v in box]
+    lib.unmold_argmax_f32(probs, md, mh, mw, c, out, od, oh, ow,
+                          z1, y1, x1, z2, y2, x2)
+    return out
