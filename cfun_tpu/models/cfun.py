@@ -168,8 +168,11 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
                                          window, cfg)
 
     det_boxes_norm = normalize_boxes(detections[:, :6], cfg.image_shape)
-    crops = roi_align(image[0], det_boxes_norm, tuple(cfg.mask_pool_size))
+    crops = roi_align(image[0].astype(jnp.float32), det_boxes_norm,
+                      tuple(cfg.mask_pool_size))
     mask_logits = apply_mask_head(params["mask"], crops, stage=cfg.stage,
                                   dtype=_dtype(cfg))
     mask_probs = jax.nn.softmax(mask_logits, axis=-1)
-    return InferOut(detections, kept, mask_probs)
+    # float16 on the wire: halves the device->host transfer of the
+    # probability stack; argmax downstream is insensitive to the rounding
+    return InferOut(detections, kept, mask_probs.astype(jnp.float16))
