@@ -69,7 +69,11 @@ def run_test(cfg, params, data_dir: str, limit: int, save: bool, bbox: bool,
         gt_box = _gt_extended_box_yxz(label)
 
         t0 = time.time()
-        result = detector.detect(image)
+        try:
+            result = detector.detect(image)
+        except Exception as e:  # per-volume resilience (LiTS_main.py:354-356)
+            print(f"liver_{i} detect error: {e!r}")
+            continue
         dt = time.time() - t0
         detect_time += dt
         print(f"liver_{i} detect_time: {dt:.3f}s")

@@ -87,11 +87,16 @@ def decay_mask(params):
 
 
 def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.gradient_clip_norm),
         optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask(params)),
         optax.sgd(cfg.learning_rate, momentum=cfg.momentum),
     )
+    if cfg.grad_accum_steps > 1:
+        # the reference emulates batches by accumulating BATCH_SIZE steps
+        # before stepping the optimizer (model.py:1642-1645)
+        opt = optax.MultiSteps(opt, every_k_schedule=cfg.grad_accum_steps)
+    return opt
 
 
 def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
