@@ -106,6 +106,17 @@ class Config:
     # explicit mask-shape override (tests / tiny configs); None = stage rule
     mask_shape_override: Tuple[int, int, int] | None = None
 
+    # ---- inference wire format --------------------------------------------
+    # 'bfloat16' uploads the z-scored volume losslessly for bf16 compute;
+    # 'int8' quantizes (clip +-5 sigma, x25.4) -- halves host->device bytes,
+    # noise is ~1% of the data sigma.  Matters on tunneled/PCIe-bound hosts.
+    wire_image_dtype: str = "bfloat16"
+    # True: the device upsamples mask probabilities 2x (trilinear) and
+    # argmaxes to int8 labels on chip, so only labels cross the wire and the
+    # host paste is a nearest gather.  False: exact reference semantics
+    # (trilinear probs to box size, then argmax; utils.py:443-460).
+    fast_unmold: bool = False
+
     # ------------------------------------------------------------------------
     def __post_init__(self):
         assert self.stage in STAGES, f"stage must be one of {STAGES}"
@@ -163,8 +174,15 @@ def heart_config(stage: str = "beginning", **overrides) -> Config:
 
 
 def heart_inference_config(stage: str = "beginning", **overrides) -> Config:
-    """Inference override: a single final detection (heart_main.py:410-417)."""
-    return heart_config(stage=stage, detection_max_instances=1).replace(**overrides)
+    """Inference override: a single final detection (heart_main.py:410-417).
+
+    Wire-format defaults are tuned for link-bound hosts; set
+    ``wire_image_dtype='bfloat16', fast_unmold=False`` for the exact
+    reference unmold semantics.
+    """
+    return heart_config(stage=stage, detection_max_instances=1,
+                        wire_image_dtype="int8",
+                        fast_unmold=True).replace(**overrides)
 
 
 def lits_config(stage: str = "beginning", **overrides) -> Config:

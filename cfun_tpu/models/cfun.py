@@ -143,10 +143,17 @@ def refine_detections(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     return det, kept
 
 
+WIRE_INT8_SCALE = 25.4  # clip +-5 sigma of the z-scored volume into int8
+
+
 class InferOut(NamedTuple):
     detections: jnp.ndarray  # [Dmax, 8] voxel coords
     det_valid: jnp.ndarray   # [Dmax] bool
-    mask_probs: jnp.ndarray  # [Dmax, mD, mH, mW, num_classes] softmax
+    # exact path: [Dmax, mD, mH, mW, C] float16 softmax; fast path: None
+    mask_probs: jnp.ndarray | None
+    # fast path: [Dmax, 2mD, 2mH, 2mW] int8 argmax labels (device-side 2x
+    # trilinear upsample first); exact path: None
+    mask_labels: jnp.ndarray | None
 
 
 def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
@@ -155,6 +162,8 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
 
     image: [1, D, H, W, 1]; window: [6] voxel coords of valid region.
     """
+    if cfg.wire_image_dtype == "int8":
+        image = image.astype(_dtype(cfg)) * (1.0 / WIRE_INT8_SCALE)
     trunk = apply_trunk(params, image, cfg)
     proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
                                anchors, cfg, cfg.post_nms_rois_inference)
@@ -173,6 +182,18 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
     mask_logits = apply_mask_head(params["mask"], crops, stage=cfg.stage,
                                   dtype=_dtype(cfg))
     mask_probs = jax.nn.softmax(mask_logits, axis=-1)
-    # float16 on the wire: halves the device->host transfer of the
-    # probability stack; argmax downstream is insensitive to the rounding
-    return InferOut(detections, kept, mask_probs.astype(jnp.float16))
+    if cfg.fast_unmold:
+        # 2x trilinear upsample + argmax ON DEVICE: only int8 labels cross
+        # the wire; the host pastes with a nearest gather.  At finetune the
+        # mask is already 2x, so upsampling is skipped there.
+        if cfg.stage != "finetune":
+            md, mh, mw, c = mask_probs.shape[1:]
+            mask_probs = jax.image.resize(
+                mask_probs,
+                (mask_probs.shape[0], 2 * md, 2 * mh, 2 * mw, c),
+                method="trilinear")
+        labels = jnp.argmax(mask_probs, axis=-1).astype(jnp.int8)
+        return InferOut(detections, kept, None, labels)
+    # exact reference semantics: ship the probability stack (float16 on the
+    # wire; argmax downstream is insensitive to the rounding)
+    return InferOut(detections, kept, mask_probs.astype(jnp.float16), None)
