@@ -46,9 +46,8 @@ def apply_classifier(params: nn.Params, pooled: jnp.ndarray,
     n = pooled.shape[0]
     w = params["conv1"]["w"]
     flat_w = w.reshape(-1, w.shape[-1])
-    x = jnp.dot(pooled.reshape(n, -1).astype(dtype), flat_w.astype(dtype),
-                preferred_element_type=jnp.float32) + params["conv1"]["b"]
-    x = x.astype(dtype)[:, None, None, None, :]
+    x = jnp.dot(pooled.reshape(n, -1).astype(dtype), flat_w.astype(dtype))
+    x = (x + params["conv1"]["b"].astype(dtype))[:, None, None, None, :]
     x = nn.relu(nn.frozen_bn(params["bn1"], x, eps=1e-3))
     x = nn.relu(nn.frozen_bn(params["bn2"],
                              nn.conv3d(params["conv2"], x, dtype=dtype),

@@ -88,22 +88,24 @@ def conv3d(p: Params, x: jnp.ndarray, stride=1, padding="torch",
         pads = ((0, 0), (0, 0), (0, 0))
     else:
         pads = padding
+    # conv runs natively in `dtype`: the TPU MXU accumulates bf16 products
+    # in f32 internally, and keeping in/out dtypes equal gives the VJP
+    # consistent operand types (f32 preferred_element_type over bf16 inputs
+    # breaks the transpose rule in this JAX version)
     out = lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype),
         window_strides=_triple(stride),
         padding=pads,
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
     if "b" in p:
-        out = out + p["b"]
-    return out.astype(dtype)
+        out = out + p["b"].astype(dtype)
+    return out
 
 
 def linear(p: Params, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    out = jnp.dot(x.astype(dtype), p["w"].astype(dtype),
-                  preferred_element_type=jnp.float32) + p["b"]
-    return out.astype(dtype)
+    out = jnp.dot(x.astype(dtype), p["w"].astype(dtype))
+    return out + p["b"].astype(dtype)
 
 
 def frozen_bn(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
