@@ -102,6 +102,10 @@ class Config:
 
     # ---- TPU-specific ------------------------------------------------------
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype; params fp32
+    # rematerialize the mask U-Net in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for dropping its activation memory -- for the
+    # finetune 192^3 mask resolution or larger ROI batches
+    remat_unet: bool = False
 
     # explicit mask-shape override (tests / tiny configs); None = stage rule
     mask_shape_override: Tuple[int, int, int] | None = None

@@ -154,12 +154,19 @@ class TrainFeeder:
                                                   cfg, rng)
         d, h, w = cfg.image_shape
         norm = np.array([d, h, w, d, h, w], np.float32)
+        # wire-lean batch: bf16 image when the graph computes bf16 anyway,
+        # int8 labels (class count << 128) -- halves per-step upload bytes
+        if cfg.compute_dtype == "bfloat16":
+            import ml_dtypes
+            image_out = molded[None, ..., None].astype(ml_dtypes.bfloat16)
+        else:
+            image_out = molded[None, ..., None].astype(np.float32)
         return TrainBatch(
-            image=molded[None, ..., None].astype(np.float32),
+            image=image_out,
             rpn_match=rpn_match,
             rpn_deltas=rpn_deltas,
             gt_box_norm=(gt_box / norm).astype(np.float32),
-            labels=labels.astype(np.int32),
+            labels=labels.astype(np.int8),
         )
 
     def epoch(self, angle: float, steps: int) -> Iterator[TrainBatch]:
@@ -174,19 +181,36 @@ class TrainFeeder:
 
         futures = deque()
         it = iter(zip(ids, seeds))
+        emitted = 0
         try:
             for _ in range(min(self.prefetch, steps)):
                 i, s = next(it)
-                futures.append(self._pool.submit(self.make_item, i, angle, int(s)))
-            while futures:
-                yield futures.popleft().result()
+                futures.append(
+                    (i, self._pool.submit(self.make_item, i, angle, int(s))))
+            while futures and emitted < steps:
+                image_id, fut = futures.popleft()
+                try:
+                    item = fut.result()
+                except Exception as e:
+                    # per-volume fault tolerance: a corrupt/failed volume is
+                    # skipped with a replacement drawn from the shuffle
+                    print(f"[feeder] volume {image_id} failed ({e!r}); "
+                          "substituting")
+                    sub = int(self._rng.integers(self.dataset.num_images))
+                    sseed = int(self._rng.integers(0, 2**31 - 1))
+                    futures.append(
+                        (sub, self._pool.submit(self.make_item, sub, angle,
+                                                sseed)))
+                    continue
+                yield item
+                emitted += 1
                 nxt = next(it, None)
                 if nxt is not None:
                     futures.append(
-                        self._pool.submit(self.make_item, nxt[0], angle,
-                                          int(nxt[1])))
+                        (nxt[0], self._pool.submit(self.make_item, nxt[0],
+                                                   angle, int(nxt[1]))))
         finally:
-            for f in futures:
+            for _i, f in futures:
                 f.cancel()
 
     def close(self):

@@ -138,10 +138,15 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
     if train_mask_branch:
         crops = roi_align(batch.image[0], tgt.pos_rois,
                           tuple(cfg.mask_pool_size))
-        mask_logits = apply_mask_head(
-            params["mask"], crops, stage=cfg.stage,
-            dropout_rate=cfg.unet_dropout_rate, dropout_key=k_drop,
-            dtype=jnp.dtype(cfg.compute_dtype))
+
+        def mask_fn(p, c):
+            return apply_mask_head(
+                p, c, stage=cfg.stage, dropout_rate=cfg.unet_dropout_rate,
+                dropout_key=k_drop, dtype=jnp.dtype(cfg.compute_dtype))
+
+        if cfg.remat_unet:
+            mask_fn = jax.checkpoint(mask_fn)
+        mask_logits = mask_fn(params["mask"], crops)
         out["mrcnn_mask_loss"] = L.mask_loss(tgt.masks, tgt.pos_valid,
                                              mask_logits, cfg)
         if edge_on:
