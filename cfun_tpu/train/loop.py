@@ -78,20 +78,24 @@ def train_model(cfg: Config, train_dataset, val_dataset,
             t0 = time.time()
             angle = float(rng.integers(-int(cfg.augment_rotate_degrees),
                                        int(cfg.augment_rotate_degrees) + 1))
-            sums = {k: 0.0 for k in LOSS_KEYS}
-            total_sum = 0.0
+            # metric sums stay on device so steps pipeline with the feeder;
+            # only the periodic progress print forces a sync
+            dev_sums = None
             for i, batch in enumerate(
                     feeder.epoch(angle, cfg.steps_per_epoch)):
                 key, sub = jax.random.split(key)
                 state, metrics = step_fn(state, _to_device(batch), sub)
-                total = float(metrics["total_loss"])
-                total_sum += total / cfg.steps_per_epoch
-                for k in LOSS_KEYS:
-                    sums[k] += float(metrics[k]) / cfg.steps_per_epoch
-                progress(i + 1, cfg.steps_per_epoch,
-                         {"loss": total}, prefix=f"epoch {epoch} ")
+                dev_sums = metrics if dev_sums is None else jax.tree.map(
+                    jnp.add, dev_sums, metrics)
+                if (i + 1) % 5 == 0 or i + 1 == cfg.steps_per_epoch:
+                    progress(i + 1, cfg.steps_per_epoch,
+                             {"loss": float(metrics["total_loss"])},
+                             prefix=f"epoch {epoch} ")
+            fetched = {k: float(v) / cfg.steps_per_epoch
+                       for k, v in dev_sums.items()}
+            total_sum = fetched.pop("total_loss")
             logger.log({"epoch": epoch, "angle": angle, "loss": total_sum,
-                        **sums, "epoch_s": round(time.time() - t0, 2)})
+                        **fetched, "epoch_s": round(time.time() - t0, 2)})
             print(f"Epoch {epoch}/{epochs} loss {total_sum:.5f} "
                   f"({time.time() - t0:.1f}s)")
 
