@@ -41,9 +41,13 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     lib.mold_resize_f32.argtypes = [f32p] + [ctypes.c_int] * 3 + [f32p] + \
         [ctypes.c_int] * 4
     lib.mold_resize_f32.restype = None
+    lib.mold_resize_q8.argtypes = [f32p] + [ctypes.c_int] * 3 + [f32p, i8p] + \
+        [ctypes.c_int] * 3 + [ctypes.c_float, ctypes.c_float]
+    lib.mold_resize_q8.restype = None
     lib.unmold_argmax_f32.argtypes = [f32p] + [ctypes.c_int] * 4 + [i16p] + \
         [ctypes.c_int] * 9
     lib.unmold_argmax_f32.restype = None
@@ -67,6 +71,23 @@ def mold_resize(src_hwd: np.ndarray, out_shape_dhw, normalize: bool
     dst = np.empty((dt, ht, wt), np.float32)
     h0, w0, d0 = src.shape
     lib.mold_resize_f32(src, h0, w0, d0, dst, dt, ht, wt, int(normalize))
+    return dst
+
+
+def mold_resize_q8(src_hwd: np.ndarray, out_shape_dhw, clip_sigma: float,
+                   scale: float) -> Optional[np.ndarray]:
+    """[H, W, D] float -> z-scored, int8-quantized [Dt, Ht, Wt] wire volume
+    in one native pass, or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src_hwd, np.float32)
+    dt, ht, wt = out_shape_dhw
+    tmp = np.empty((dt, ht, wt), np.float32)
+    dst = np.empty((dt, ht, wt), np.int8)
+    h0, w0, d0 = src.shape
+    lib.mold_resize_q8(src, h0, w0, d0, tmp, dst, dt, ht, wt,
+                       float(clip_sigma), float(scale))
     return dst
 
 

@@ -126,6 +126,23 @@ void mold_resize_f32(const float* src, int h0, int w0, int d0, float* dst,
   delete[] fr;
 }
 
+// As mold_resize_f32(normalize=1) but additionally emits the z-scored
+// volume quantized to int8 (clip +-clip_sigma, scale) -- the inference
+// wire format -- in the same pass, so the host never touches the f32
+// volume again.
+void mold_resize_q8(const float* src, int h0, int w0, int d0, float* tmp,
+                    int8_t* dst_q8, int dt, int ht, int wt, float clip_sigma,
+                    float scale) {
+  mold_resize_f32(src, h0, w0, d0, tmp, dt, ht, wt, 1);
+  const int64_t n = static_cast<int64_t>(dt) * ht * wt;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    float v = tmp[i];
+    v = std::min(std::max(v, -clip_sigma), clip_sigma) * scale;
+    dst_q8[i] = static_cast<int8_t>(v);  // trunc, matching numpy astype
+  }
+}
+
 // probs: [md, mh, mw, c] float32 (channels innermost, device output layout).
 // out:   [od, oh, ow] int16, already zero-initialized by the caller.
 // box:   z1, y1, x1, z2, y2, x2 integer voxel bounds in the output volume.
