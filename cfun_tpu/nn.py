@@ -20,7 +20,6 @@ TPU) and accumulate in float32 on the MXU via ``preferred_element_type``.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ block for sharded U-Net levels at finetune-resolution masks.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

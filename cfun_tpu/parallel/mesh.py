@@ -21,7 +21,7 @@ sharding propagation -> psum over ICI).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
