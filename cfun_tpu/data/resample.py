@@ -61,6 +61,20 @@ def resize(vol: np.ndarray, out_shape: Tuple[int, ...], order: int = 1) -> np.nd
     return out
 
 
+_ROTATE_GRID_CACHE: dict = {}
+
+
+def _rotate_grid(h: int, w: int):
+    key = (h, w)
+    if key not in _ROTATE_GRID_CACHE:
+        if len(_ROTATE_GRID_CACHE) > 8:
+            _ROTATE_GRID_CACHE.clear()
+        _ROTATE_GRID_CACHE[key] = np.meshgrid(
+            np.arange(h, dtype=np.float32),
+            np.arange(w, dtype=np.float32), indexing="ij")
+    return _ROTATE_GRID_CACHE[key]
+
+
 def rotate_hw(vol: np.ndarray, angle_deg: float, order: int = 0) -> np.ndarray:
     """Rotate every [H, W] slice about the slice center (the reference's
     slice-wise imgaug Affine augmentation, model.py:1019-1052), constant-0
@@ -70,8 +84,7 @@ def rotate_hw(vol: np.ndarray, angle_deg: float, order: int = 0) -> np.ndarray:
     h, w = vol.shape[:2]
     theta = np.deg2rad(angle_deg)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
+    yy, xx = _rotate_grid(h, w)
     # inverse mapping: output (y, x) samples input rotated by -theta
     cos_t, sin_t = np.cos(theta), np.sin(theta)
     ys = cos_t * (yy - cy) - sin_t * (xx - cx) + cy
