@@ -112,6 +112,36 @@ def test_overlap_tile_unmold_averages():
     assert out[14, 14, 14] == 0       # outside both
 
 
+def test_lits_detector_end_to_end_overlap_unmold():
+    """Full LiTS Detector path: HU-window pad molding, multi-instance
+    detections, overlap-tile unmold."""
+    from cfun_tpu.inference import Detector
+
+    cfg = _tiny_lits("together").replace(detection_max_instances=2)
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    det = Detector(cfg, params)
+    rng = np.random.default_rng(0)
+    image = rng.normal(0, 100, size=(100, 100, 40)).astype(np.float32)
+    image[30:70, 30:70, 10:30] -= 200.0  # "liver" region in inverted window
+    result = det.detect(image)
+    assert result["mask"].shape == (100, 100, 40)
+    assert result["class_ids"].tolist() == [1, 2]
+    assert set(np.unique(result["mask"])) <= {0, 1, 2}
+
+
+def test_step_timer_summary():
+    import time as _time
+
+    from cfun_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(3):
+        with t.time("phase"):
+            _time.sleep(0.01)
+    s = t.summary()["phase"]
+    assert s["n"] == 3 and s["min"] >= 0.009
+
+
 def test_mask_loss_class_weights():
     from cfun_tpu.train.losses import mask_loss
     cfg = _tiny_lits("together")
