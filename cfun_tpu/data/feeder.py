@@ -132,7 +132,16 @@ class TrainFeeder:
         if cfg.pad_shape is None:
             # heart path: mold first (matches dataset __getitem__,
             # model.py:1211-1235), rotate after resize (load_image_gt)
-            molded, _window, labels = mold_volume(image, cfg, mask)
+            from cfun_tpu import native
+            if native.available():
+                molded = native.mold_resize(
+                    image[..., 0] if image.ndim == 4 else image,
+                    cfg.image_shape, normalize=False)
+                d_t, h_t, w_t = cfg.image_shape
+                labels = np.rint(resize(mask, (h_t, w_t, d_t), order=0)
+                                 ).astype(np.int32).transpose(2, 0, 1)
+            else:
+                molded, _window, labels = mold_volume(image, cfg, mask)
             if angle != 0.0:
                 # rotate in the (H, W) plane: device layout is [D, H, W]
                 molded = rotate_hw(molded.transpose(1, 2, 0), angle,
