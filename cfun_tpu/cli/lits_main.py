@@ -180,6 +180,7 @@ def main(argv=None):
         val_ds.load_lits(args.data, "val")
         val_ds.prepare()
         from cfun_tpu.train.loop import train_model
+        print(cfg.describe())
         print("Training...")
         train_model(cfg, train_ds, val_ds, log_dir=args.logs,
                     weights=args.weights, epochs=args.epochs,

@@ -178,6 +178,17 @@ class Config:
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
+    def describe(self) -> str:
+        """Formatted dump of all fields incl. computed ones (the reference's
+        ``Config.display()``, config.py:226-232)."""
+        lines = ["Configurations:"]
+        for f in dataclasses.fields(self):
+            lines.append(f"{f.name:32} {getattr(self, f.name)}")
+        for name in ("mask_shape", "num_positive_rois",
+                     "backbone_feature_shapes", "num_anchors"):
+            lines.append(f"{name:32} {getattr(self, name)}")
+        return "\n".join(lines)
+
 
 def heart_config(stage: str = "beginning", **overrides) -> Config:
     """Whole-heart (MM-WHS 2017) experiment config (heart_main.py:26-174)."""
