@@ -190,6 +190,15 @@ class Config:
         return "\n".join(lines)
 
 
+def exact_reference_overrides() -> Dict[str, object]:
+    """Config overrides bundling every approximation flag off -- bit-level
+    A/B comparisons against reference semantics (at tunneled-link latency
+    cost): exact top-k, scan NMS, lossless bf16 wire, probability-stack
+    unmold."""
+    return dict(approx_topk=False, nms_backend="scan",
+                wire_image_dtype="bfloat16", fast_unmold=False)
+
+
 def heart_config(stage: str = "beginning", **overrides) -> Config:
     """Whole-heart (MM-WHS 2017) experiment config (heart_main.py:26-174)."""
     return Config(name="heart", stage=stage).replace(**overrides)
