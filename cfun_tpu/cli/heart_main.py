@@ -95,11 +95,37 @@ def run_test(cfg, params, data_dir: str, limit: int, save: bool,
     return per_class_ious, per_class_dices
 
 
+def run_submit(cfg, params, data_dir: str, limit: int,
+               results_dir: str = "./results/heart_submissions"):
+    """Export predicted label volumes for every manifest image (no labels
+    needed) -- the heart-variant counterpart of LiTS `submit` (the
+    reference only ships it for LiTS, LiTS_main.py:370-394)."""
+    import json
+
+    from cfun_tpu.data import nifti
+    from cfun_tpu.data.datasets import _resolve
+    from cfun_tpu.inference import Detector
+
+    detector = Detector(cfg, params)
+    with open(os.path.join(data_dir, "dataset.json")) as f:
+        info = list(json.load(f)["train_and_test"])
+    os.makedirs(results_dir, exist_ok=True)
+    for item in info[:limit]:
+        image, affine = nifti.load(_resolve(data_dir, item["image"]))
+        t0 = time.time()
+        result = detector.detect(image.astype(np.float32))
+        name = os.path.basename(item["image"])
+        print(f"{name} predicted in {time.time() - t0:.3f}s")
+        nifti.save(os.path.join(results_dir, name),
+                   result["mask"].astype(np.int32), affine)
+    print("prediction completed")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Train/test the TPU-native CFUN whole-heart pipeline.")
     parser.add_argument("command", metavar="<command>",
-                        help="'train' or 'test'")
+                        help="'train', 'test' or 'submit'")
     parser.add_argument("--weights", required=True,
                         help="Path to a .npz checkpoint, or 'none'")
     parser.add_argument("--stage", required=True,
@@ -134,18 +160,22 @@ def main(argv=None):
         train_model(cfg, train_ds, val_ds, log_dir=args.logs,
                     weights=args.weights, epochs=args.epochs,
                     num_workers=args.workers)
-    elif args.command == "test":
+    elif args.command in ("test", "submit"):
         cfg = heart_inference_config(args.stage)
         params = cfun.init_params(jax.random.PRNGKey(0), cfg)
         if args.weights.lower() != "none":
             params, _, _ = checkpoint.load(args.weights, params, strict=False)
             print("Weights loaded:", args.weights)
-        print("Testing...")
-        run_test(cfg, params, args.data, args.limit,
-                 args.save.lower() == "true", args.bbox.lower() == "true")
+        if args.command == "test":
+            print("Testing...")
+            run_test(cfg, params, args.data, args.limit,
+                     args.save.lower() == "true", args.bbox.lower() == "true")
+        else:
+            print("Predicting...")
+            run_submit(cfg, params, args.data, args.limit)
     else:
         parser.error(f"'{args.command}' is not recognized. "
-                     "Use 'train' or 'test'")
+                     "Use 'train', 'test' or 'submit'")
 
 
 if __name__ == "__main__":

@@ -86,6 +86,19 @@ def test_train_loop_two_epochs_and_resume(synth_root, tmp_path):
     assert meta["epoch"] == 3
 
 
+def test_heart_cli_submit_command(synth_root, tmp_path):
+    from cfun_tpu.cli.heart_main import run_submit
+
+    cfg = tiny_config().replace(detection_max_instances=1)
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    out_dir = str(tmp_path / "subs")
+    run_submit(cfg, params, synth_root, limit=1, results_dir=out_dir)
+    saved = os.listdir(out_dir)
+    assert len(saved) == 1
+    data, _ = nifti.load(os.path.join(out_dir, saved[0]))
+    assert data.shape == (48, 48, 24)
+
+
 def test_heart_cli_test_command(synth_root, monkeypatch, tmp_path):
     from cfun_tpu.cli.heart_main import run_test
 
