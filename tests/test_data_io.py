@@ -155,6 +155,33 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_checkpoint_optimizer_state_roundtrip(tmp_path):
+    from cfun_tpu.ops.anchors import config_anchors
+    from cfun_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    init_state, step = make_train_step(cfg, config_anchors(cfg))
+    state = init_state(params)
+    from tests.test_train_step import _make_batch
+    state, _ = step(state, _make_batch(cfg), jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, state.params, epoch=1, step=1,
+                    opt_state=state.opt_state)
+    fresh = init_state(cfun.init_params(jax.random.PRNGKey(9), cfg))
+    params2, opt2, meta = checkpoint.load(path, fresh.params,
+                                          fresh.opt_state, strict=True)
+    a = jax.tree_util.tree_leaves(state.opt_state)
+    b = jax.tree_util.tree_leaves(opt2)
+    assert len(a) == len(b)
+    # the SGD momentum trace survives exactly
+    diffs = [np.abs(np.asarray(x) - np.asarray(y)).max() for x, y in zip(a, b)]
+    assert max(diffs) == 0.0
+    # and it is non-trivial after one step
+    assert any(np.asarray(x).std() > 0 for x in a)
+
+
 def test_checkpoint_partial_load(tmp_path):
     cfg = tiny_config()
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
