@@ -106,6 +106,9 @@ class Config:
     # trades ~30% more FLOPs for dropping its activation memory -- for the
     # finetune 192^3 mask resolution or larger ROI batches
     remat_unet: bool = False
+    # rematerialize the backbone+FPN+RPN trunk: needed where the trunk's
+    # saved activations exceed HBM (LiTS P3D35 at 256x320x320 on 16 GB)
+    remat_trunk: bool = False
 
     # explicit mask-shape override (tests / tiny configs); None = stage rule
     mask_shape_override: Tuple[int, int, int] | None = None
@@ -248,6 +251,10 @@ def lits_config(stage: str = "beginning", **overrides) -> Config:
         mask_class_weights=(1.0, 1.0, 100.0),  # LiTS_2017/model.py:926-927
         augment_rotate_degrees=30.0,
         unet_dropout_rate=0.0,  # dropout disabled (LiTS_2017/mask_branch.py:19,130)
+        # P3D35 trunk activations at 256x320x320 exceed 16 GB HBM in the
+        # backward pass; remat trades ~30% trunk FLOPs for fitting
+        remat_trunk=True,
+        remat_unet=(stage == "finetune"),
         loss_weights=(  # LiTS_2017/LiTS_main.py:163-170
             ("rpn_class_loss", 50.0),
             ("rpn_bbox_loss", 5.0),

@@ -105,7 +105,10 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
     k_tgt, k_drop = jax.random.split(key)
     train_det, train_mask_branch, edge_on = stage_flags(cfg)
 
-    trunk = cfun.apply_trunk(params, batch.image, cfg)
+    trunk_fn = cfun.apply_trunk
+    if cfg.remat_trunk:
+        trunk_fn = jax.checkpoint(cfun.apply_trunk, static_argnums=(2,))
+    trunk = trunk_fn(params, batch.image, cfg)
     proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
                                anchors, cfg, cfg.post_nms_rois_training)
     proposals = jax.lax.stop_gradient(proposals)
