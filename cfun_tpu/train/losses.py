@@ -134,15 +134,23 @@ def mask_edge_loss(target_onehot: jnp.ndarray, pos_valid: jnp.ndarray,
     pred_fg = jnp.moveaxis(mask_probs, -1, 1)[:, 1:]
     flat_true = true_fg.reshape((-1,) + true_fg.shape[2:])
     flat_pred = pred_fg.reshape((-1,) + pred_fg.shape[2:])
-    g_true = _edge_maps(flat_true)
-    g_pred = _edge_maps(flat_pred.astype(jnp.float32))
-    if per_class:
-        se = jnp.mean((g_pred - g_true) ** 2, axis=(1, 2, 3, 4))
-    else:
+
+    # one (ROI, class) pair at a time: the gradient maps at finetune
+    # resolution (190^3 x 3 floats each) would otherwise all coexist;
+    # checkpointing recomputes them in the backward pass
+    @jax.checkpoint
+    def pair_se(pair):
+        t, q = pair
+        g_true = _edge_maps(t[None])
+        g_pred = _edge_maps(q[None].astype(jnp.float32))
+        if per_class:
+            return jnp.mean((g_pred - g_true) ** 2)
         eps = 1e-12  # keeps sqrt' finite on flat regions
         m_true = jnp.sqrt(jnp.sum(g_true ** 2, axis=-1) + eps)
         m_pred = jnp.sqrt(jnp.sum(g_pred ** 2, axis=-1) + eps)
-        se = jnp.mean((m_pred - m_true) ** 2, axis=(1, 2, 3))
+        return jnp.mean((m_pred - m_true) ** 2)
+
+    se = jax.lax.map(pair_se, (flat_true, flat_pred))
     se = se.reshape(p, c - 1).sum(axis=1)  # sum over classes (model.py:963-975)
     pos = pos_valid.astype(se.dtype)
     return jnp.sum(se * pos) / jnp.maximum(jnp.sum(pos), 1.0)
