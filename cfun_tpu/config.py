@@ -204,7 +204,9 @@ def exact_reference_overrides() -> Dict[str, object]:
 
 def heart_config(stage: str = "beginning", **overrides) -> Config:
     """Whole-heart (MM-WHS 2017) experiment config (heart_main.py:26-174)."""
-    return Config(name="heart", stage=stage).replace(**overrides)
+    # finetune: 4 x 192^3 U-Net outputs + edge loss need activation remat
+    return Config(name="heart", stage=stage,
+                  remat_unet=(stage == "finetune")).replace(**overrides)
 
 
 def heart_inference_config(stage: str = "beginning", **overrides) -> Config:
