@@ -113,22 +113,35 @@ def propose(rpn_logits: jnp.ndarray, rpn_deltas: jnp.ndarray,
 
 
 def pyramid_roi_align(boxes: jnp.ndarray, p2: jnp.ndarray, p3: jnp.ndarray,
-                      pool_size) -> jnp.ndarray:
+                      pool_size, chunk: int = 8) -> jnp.ndarray:
     """FPN-level-assigned RoIAlign (reference model.py:292-370).
 
     boxes: [K, 6] normalized; p2/p3: [D, H, W, C] (batch dim stripped).
     Each box is pooled from both levels and the result selected by the FPN
-    assignment rule ``level = clamp(round(4 + log2(dhw)/3), 2, 3)`` -- fully
-    batched, no data-dependent partitioning (cheap at K <= 500, 12^3 crops).
+    assignment rule ``level = clamp(round(4 + log2(dhw)/3), 2, 3)``.
+
+    Boxes are processed in ``chunk``-sized groups under ``lax.map``: the
+    backward pass of each gather is a scatter-add into a feature-grad
+    buffer, and a fully-vmapped formulation materializes one such buffer
+    PER BOX per trilinear corner (tens of GB at LiTS sizes).  The map
+    accumulates across chunks into a single carry instead, bounding the
+    peak at `chunk` buffers.
     """
-    size = jnp.maximum(boxes[:, 3:] - boxes[:, :3], 1e-9)
-    vol = jnp.prod(size, axis=-1)
-    level = jnp.round(4.0 + jnp.log2(vol) / 3.0)
-    level = jnp.clip(level, 2, 3)
-    pooled2 = roi_align(p2, boxes, tuple(pool_size))
-    pooled3 = roi_align(p3, boxes, tuple(pool_size))
-    sel = (level == 2)[:, None, None, None, None]
-    return jnp.where(sel, pooled2, pooled3)
+    k = boxes.shape[0]
+    pad = (-k) % chunk
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+
+    def pool_chunk(bc):
+        size = jnp.maximum(bc[:, 3:] - bc[:, :3], 1e-9)
+        vol = jnp.prod(size, axis=-1)
+        level = jnp.clip(jnp.round(4.0 + jnp.log2(vol) / 3.0), 2, 3)
+        pooled2 = roi_align(p2, bc, tuple(pool_size))
+        pooled3 = roi_align(p3, bc, tuple(pool_size))
+        sel = (level == 2)[:, None, None, None, None]
+        return jnp.where(sel, pooled2, pooled3)
+
+    out = jax.lax.map(pool_chunk, boxes_p.reshape(-1, chunk, 6))
+    return out.reshape(-1, *out.shape[2:])[:k]
 
 
 def refine_detections(rois: jnp.ndarray, roi_valid: jnp.ndarray,
