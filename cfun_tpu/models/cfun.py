@@ -73,10 +73,11 @@ class TrunkOut(NamedTuple):
     rpn_deltas: jnp.ndarray  # [B, A, 6]
 
 
-def apply_trunk(params: nn.Params, image: jnp.ndarray, cfg: Config) -> TrunkOut:
+def apply_trunk(params: nn.Params, image: jnp.ndarray, cfg: Config,
+                remat: bool = False) -> TrunkOut:
     """image: [B, D, H, W, 1] molded volume."""
     dt = _dtype(cfg)
-    c2, c3 = apply_p3d(params["backbone"], image, cfg, dtype=dt)
+    c2, c3 = apply_p3d(params["backbone"], image, cfg, dtype=dt, remat=remat)
     p2, p3 = apply_fpn(params["fpn"], c2, c3, dtype=dt)
     l2, d2 = apply_rpn(params["rpn"], p2, cfg.anchor_stride, dtype=dt)
     l3, d3 = apply_rpn(params["rpn"], p3, cfg.anchor_stride, dtype=dt)

@@ -19,8 +19,10 @@ BatchNorm is frozen (see cfun_tpu.nn.frozen_bn).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from cfun_tpu import nn
@@ -48,7 +50,7 @@ def _init_bottleneck(keys, c_in: int, planes: int, expand: bool) -> nn.Params:
     return p
 
 
-def _apply_bottleneck(p: nn.Params, x: jnp.ndarray, st: str, expand: bool,
+def _apply_bottleneck(p: nn.Params, x: jnp.ndarray, *, st: str, expand: bool,
                       stride: int, dtype) -> jnp.ndarray:
     out = nn.relu(nn.frozen_bn(p["bn1"], nn.conv3d(p["conv1"], x, stride=stride,
                                                    dtype=dtype)))
@@ -99,8 +101,14 @@ def init_p3d(key, cfg) -> nn.Params:
 
 
 def apply_p3d(params: nn.Params, x: jnp.ndarray, cfg,
-              dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """x: [B, D, H, W, C] molded volume -> (c2_out 1/8, c3_out 1/16)."""
+              dtype=jnp.float32, remat: bool = False
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: [B, D, H, W, C] molded volume -> (c2_out 1/8, c3_out 1/16).
+
+    remat=True checkpoints each bottleneck block: the backward pass holds
+    one block's internal activations at a time instead of the whole
+    stack's (needed for P3D35 at LiTS volume sizes on 16 GB chips).
+    """
     out = nn.conv3d(params["stem_conv"], x, stride=2, dtype=dtype)
     out = nn.relu(nn.frozen_bn(params["stem_bn"], out))
     out = nn.max_pool(out, 2, 2)
@@ -109,7 +117,11 @@ def apply_p3d(params: nn.Params, x: jnp.ndarray, cfg,
     for stage in (2, 3):
         for b, bp in enumerate(params[f"c{stage}"]):
             st = "ABC"[b % 3]  # block index is 1-based in the reference
-            out = _apply_bottleneck(bp, out, st, expand=(b == 0),
-                                    stride=2 if b == 0 else 1, dtype=dtype)
+            block = functools.partial(_apply_bottleneck, st=st,
+                                      expand=(b == 0),
+                                      stride=2 if b == 0 else 1, dtype=dtype)
+            if remat:
+                block = jax.checkpoint(block)
+            out = block(bp, out)
         feats.append(out)
     return feats[0], feats[1]

@@ -105,10 +105,8 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
     k_tgt, k_drop = jax.random.split(key)
     train_det, train_mask_branch, edge_on = stage_flags(cfg)
 
-    trunk_fn = cfun.apply_trunk
-    if cfg.remat_trunk:
-        trunk_fn = jax.checkpoint(cfun.apply_trunk, static_argnums=(2,))
-    trunk = trunk_fn(params, batch.image, cfg)
+    trunk = cfun.apply_trunk(params, batch.image, cfg,
+                             remat=cfg.remat_trunk)
     proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
                                anchors, cfg, cfg.post_nms_rois_training)
     proposals = jax.lax.stop_gradient(proposals)
@@ -182,6 +180,9 @@ def make_train_step(cfg: Config, anchors):
         grads = jax.tree.map(
             lambda g, m: g if m else jnp.zeros_like(g), grads, tmask)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        # zero grads keep SGD momentum (and hence updates) at exactly zero
+        # for masked leaves except through weight decay -- mask the decayed
+        # update only for frozen subtrees to avoid drift
         updates = jax.tree.map(
             lambda u, m: u if m else jnp.zeros_like(u), updates, tmask)
         params = optax.apply_updates(state.params, updates)
