@@ -109,7 +109,12 @@ def apply_p3d(params: nn.Params, x: jnp.ndarray, cfg,
     one block's internal activations at a time instead of the whole
     stack's (needed for P3D35 at LiTS volume sizes on 16 GB chips).
     """
-    out = nn.conv3d(params["stem_conv"], x, stride=2, dtype=dtype)
+    if x.shape[-1] == 1:
+        # space-to-depth stem: identical math, sidesteps the TPU
+        # 1-channel-conv dW lane-padding blowup (see nn.conv3d_stem_s2d)
+        out = nn.conv3d_stem_s2d(params["stem_conv"], x, dtype=dtype)
+    else:
+        out = nn.conv3d(params["stem_conv"], x, stride=2, dtype=dtype)
     out = nn.relu(nn.frozen_bn(params["stem_bn"], out))
     out = nn.max_pool(out, 2, 2)
 

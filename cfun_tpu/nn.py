@@ -102,6 +102,47 @@ def conv3d(p: Params, x: jnp.ndarray, stride=1, padding="torch",
     return out
 
 
+def conv3d_stem_s2d(p: Params, x: jnp.ndarray,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Stride-2 single-input-channel conv via space-to-depth.
+
+    Mathematically identical to ``conv3d(p, x, stride=2, padding='torch')``
+    for C_in == 1: the padded volume is rearranged into 2x2x2 blocks
+    (8 channels at half resolution) and convolved VALID/stride-1 with the
+    correspondingly re-indexed kernel K'[t, eps] = w[2t + eps].
+
+    Why: on TPU the backward (dW) pass of a 1-channel conv lays the input
+    out with the channel dim lane-padded to 128 -- a 13.4 GB temp for a
+    256x320x320 volume, the dominant memory term of the whole train step.
+    The s2d form measures 1.8 GB.  Requires padded spatial dims to be even
+    (true for all /16-divisible configs).
+    """
+    w = p["w"]
+    kd, kh, kw = w.shape[:3]
+    assert w.shape[3] == 1, "s2d stem path is for C_in == 1"
+    pads = [((k - 1) // 2,) * 2 for k in (kd, kh, kw)]
+    x = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
+    b, d, h, wd, _ = x.shape
+    assert d % 2 == 0 and h % 2 == 0 and wd % 2 == 0, \
+        "padded spatial dims must be even for the s2d stem"
+    xs = x.reshape(b, d // 2, 2, h // 2, 2, wd // 2, 2)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+        b, d // 2, h // 2, wd // 2, 8)
+
+    td, th, tw = (kd + 1) // 2, (kh + 1) // 2, (kw + 1) // 2
+    wp = jnp.pad(w, [(0, 2 * td - kd), (0, 2 * th - kh), (0, 2 * tw - kw),
+                     (0, 0), (0, 0)])
+    ws = wp.reshape(td, 2, th, 2, tw, 2, w.shape[-1])
+    ws = ws.transpose(0, 2, 4, 1, 3, 5, 6).reshape(td, th, tw, 8,
+                                                   w.shape[-1])
+    out = lax.conv_general_dilated(
+        xs.astype(dtype), ws.astype(dtype), (1, 1, 1),
+        ((0, 0), (0, 0), (0, 0)), dimension_numbers=_DN)
+    if "b" in p:
+        out = out + p["b"].astype(dtype)
+    return out
+
+
 def linear(p: Params, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     out = jnp.dot(x.astype(dtype), p["w"].astype(dtype))
     return out + p["b"].astype(dtype)
