@@ -96,7 +96,11 @@ def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
         return nn.channel_dropout(next(dkeys), v, dropout_rate, False)
 
     # ---- level 1 context
-    out = nn.conv3d(params["c1_1"], x, dtype=dtype)
+    if x.shape[-1] == 1:
+        # memory-safe VJP for the 1-channel entry conv (see nn.conv3d_1ch)
+        out = nn.conv3d_1ch(params["c1_1"], x, dtype=dtype)
+    else:
+        out = nn.conv3d(params["c1_1"], x, dtype=dtype)
     residual = out
     out = nn.leaky_relu(out)
     out = nn.conv3d(params["c1_2"], out, dtype=dtype)

@@ -19,6 +19,7 @@ TPU) and accumulate in float32 on the MXU via ``preferred_element_type``.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -138,6 +139,64 @@ def conv3d_stem_s2d(p: Params, x: jnp.ndarray,
     out = lax.conv_general_dilated(
         xs.astype(dtype), ws.astype(dtype), (1, 1, 1),
         ((0, 0), (0, 0), (0, 0)), dimension_numbers=_DN)
+    if "b" in p:
+        out = out + p["b"].astype(dtype)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv1ch_s1(w: jnp.ndarray, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Stride-1 'torch'-padded conv for C_in == 1 with a layout-safe VJP.
+
+    The default dW rule lane-pads the 1-channel input to 128 on TPU
+    (see conv3d_stem_s2d); here dW is a static sum of shifted-slice
+    contractions (einsum -> MXU matmuls) with no padded temps, and dX is
+    the standard flipped-kernel conv over the C_out-channel cotangent.
+    """
+    pads = tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
+    return lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (1, 1, 1), pads,
+        dimension_numbers=_DN)
+
+
+def _conv1ch_s1_fwd(w, x, dtype):
+    return _conv1ch_s1(w, x, dtype), (w, x)
+
+
+def _conv1ch_s1_bwd(dtype, res, g):
+    w, x = res
+    kd, kh, kw = w.shape[:3]
+    pads = [((k - 1) // 2, (k - 1) // 2) for k in (kd, kh, kw)]
+    g32 = g.astype(jnp.float32)
+
+    # dX: correlate the cotangent with the flipped kernel (C_out in lanes)
+    w_flip = jnp.flip(w.astype(jnp.float32), axis=(0, 1, 2))
+    w_t = jnp.swapaxes(w_flip, 3, 4)  # [kd, kh, kw, C_out, 1]
+    dx = lax.conv_general_dilated(g32, w_t, (1, 1, 1), pads,
+                                  dimension_numbers=_DN)
+
+    # dW: 27 (k^3) shifted-slice contractions, each a [N] x [N, C] matmul
+    xp = jnp.pad(x.astype(jnp.float32)[..., 0],
+                 [(0, 0)] + [tuple(p) for p in pads])
+    b, d, h, wd, c_out = g.shape
+    rows = []
+    for a in range(kd):
+        for bb in range(kh):
+            for cc in range(kw):
+                xs = lax.dynamic_slice(
+                    xp, (0, a, bb, cc), (b, d, h, wd))
+                rows.append(jnp.einsum("bdhw,bdhwc->c", xs, g32))
+    dw = jnp.stack(rows).reshape(kd, kh, kw, 1, c_out)
+    return dw.astype(w.dtype), dx.astype(x.dtype)
+
+
+_conv1ch_s1.defvjp(_conv1ch_s1_fwd, _conv1ch_s1_bwd)
+
+
+def conv3d_1ch(p: Params, x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Stride-1 conv over a single-channel volume (U-Net first layer) with
+    the memory-safe custom VJP; bias handled outside the custom rule."""
+    out = _conv1ch_s1(p["w"], x, dtype)
     if "b" in p:
         out = out + p["b"].astype(dtype)
     return out

@@ -20,6 +20,29 @@ def test_s2d_equals_plain_conv(kernel):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv1ch_custom_vjp_matches_plain():
+    rng = np.random.default_rng(2)
+    p = nn.conv3d_init(jax.random.PRNGKey(2), 3, 1, 5, bias=False)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 12, 1)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(nn.conv3d_1ch(p, x)), np.asarray(nn.conv3d(p, x)),
+        rtol=1e-5, atol=1e-5)
+
+    def loss_custom(q, v):
+        return jnp.sum(nn.conv3d_1ch(q, v) ** 2)
+
+    def loss_plain(q, v):
+        return jnp.sum(nn.conv3d(q, v) ** 2)
+
+    gw_c, gx_c = jax.grad(loss_custom, argnums=(0, 1))(p, x)
+    gw_p, gx_p = jax.grad(loss_plain, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gw_c["w"]), np.asarray(gw_p["w"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_s2d_gradients_match():
     rng = np.random.default_rng(1)
     p = nn.conv3d_init(jax.random.PRNGKey(1), (5, 7, 7), 1, 4)
