@@ -109,6 +109,8 @@ class Config:
     # rematerialize the backbone+FPN+RPN trunk: needed where the trunk's
     # saved activations exceed HBM (LiTS P3D35 at 256x320x320 on 16 GB)
     remat_trunk: bool = False
+    # memory-safe custom VJP for the U-Net's 1-channel entry conv
+    safe_entry_conv: bool = True
 
     # explicit mask-shape override (tests / tiny configs); None = stage rule
     mask_shape_override: Tuple[int, int, int] | None = None

@@ -161,16 +161,18 @@ def one_hot_crop(labels: jnp.ndarray, box_norm: jnp.ndarray,
                  out_shape: Tuple[int, int, int],
                  num_classes: int) -> jnp.ndarray:
     """Crop an integer label volume [D, H, W] to a normalized box, nearest-
-    resize to ``out_shape``, one-hot to [num_classes, *out_shape].
+    resize to ``out_shape``, one-hot to [*out_shape, num_classes]
+    (channels LAST: matching the network output layout avoids the padded
+    transpose copies XLA emits for channel-minor big tensors on TPU).
 
     Equivalent to the reference's per-ROI skimage order=0 crop-resize of the
     8-channel per-class GT mask stack (model.py:481-493) -- but the device
     crops the single int8 label volume and one-hots on the fly, so the host
-    never materializes or transfers the [C, D, H, W] mask stack.
+    never materializes or transfers the mask stack.
     """
     d, h, w = labels.shape[:3]
     scale = jnp.asarray([d, h, w, d, h, w], jnp.float32)
     box = box_norm.astype(jnp.float32) * scale
     crop = crop_resize_halfpix(labels[..., None].astype(jnp.int32), box,
                                out_shape, method="nearest")[..., 0]
-    return jax.nn.one_hot(crop, num_classes, axis=0, dtype=jnp.float32)
+    return jax.nn.one_hot(crop, num_classes, axis=-1, dtype=jnp.float32)

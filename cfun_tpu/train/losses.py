@@ -77,17 +77,25 @@ def mrcnn_bbox_loss(target_deltas: jnp.ndarray, class_ids: jnp.ndarray,
 
 def mask_loss(target_onehot: jnp.ndarray, pos_valid: jnp.ndarray,
               logits: jnp.ndarray, cfg: Config) -> jnp.ndarray:
-    """target_onehot: [P, C, mD, mH, mW]; logits: [P, mD, mH, mW, C].
+    """target_onehot: [P, mD, mH, mW, C] (channels last); logits:
+    [P, mD, mH, mW, C].
 
-    Voxelwise CE vs argmax of the one-hot target (model.py:909-935); LiTS
-    adds per-class weights [1, 1, 100] with torch's weighted-mean semantics
+    Voxelwise CE vs the one-hot target (model.py:909-935); LiTS adds
+    per-class weights [1, 1, 100] with torch's weighted-mean semantics
     (sum(w * ce) / sum(w), LiTS_2017/model.py:926-927).
+
+    Written gather-free (logsumexp minus the one-hot dot): per-voxel
+    ``take_along_axis`` on 192^3 tensors forces padded transpose layouts
+    on TPU (measured 3.4 GB per intermediate at finetune resolution).
     """
-    labels = jnp.argmax(target_onehot, axis=1)  # [P, mD, mH, mW]
-    ce = _ce_from_logits(logits, labels)
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.sum(logits * target_onehot, axis=-1)
+    ce = lse - picked  # [P, mD, mH, mW]
     valid = pos_valid[:, None, None, None].astype(ce.dtype)
     if cfg.mask_class_weights is not None:
-        w = jnp.asarray(cfg.mask_class_weights, ce.dtype)[labels] * valid
+        wvec = jnp.asarray(cfg.mask_class_weights, ce.dtype)
+        w = jnp.sum(target_onehot * wvec, axis=-1) * valid
     else:
         w = jnp.broadcast_to(valid, ce.shape)
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
@@ -123,24 +131,31 @@ def mask_edge_loss(target_onehot: jnp.ndarray, pos_valid: jnp.ndarray,
                    per_class: bool = False) -> jnp.ndarray:
     """Edge-agreement loss over FG classes of positive ROIs.
 
-    target_onehot: [P, C, m...]; mask_probs: [P, m..., C] softmax output.
+    target_onehot / mask_probs: [P, m..., C] (channels last).
     Heart form: MSE between gradient magnitudes, summed over the 7 FG
     classes, averaged over ROIs (model.py:938-981).  LiTS form
     (per_class=True): MSE between raw gradient components per class
     (LiTS_2017/model.py:961-974).
-    """
-    p, c = target_onehot.shape[0], target_onehot.shape[1]
-    true_fg = target_onehot[:, 1:]  # [P, C-1, m...]
-    pred_fg = jnp.moveaxis(mask_probs, -1, 1)[:, 1:]
-    flat_true = true_fg.reshape((-1,) + true_fg.shape[2:])
-    flat_pred = pred_fg.reshape((-1,) + pred_fg.shape[2:])
 
-    # one (ROI, class) pair at a time: the gradient maps at finetune
-    # resolution (190^3 x 3 floats each) would otherwise all coexist;
-    # checkpointing recomputes them in the backward pass
+    One (ROI, class) pair is processed per ``lax.map`` step, sliced from
+    the channels-LAST tensors in place: a channel-first ``moveaxis`` of
+    the [P, 192^3, C] stack materializes a 13.5 GB padded copy on TPU
+    (measured), and a fully-vectorized form holds every 190^3x3 gradient
+    map at once.  The per-pair body is checkpointed so the backward pass
+    recomputes the maps.
+    """
+    p, c = target_onehot.shape[0], target_onehot.shape[-1]
+
     @jax.checkpoint
-    def pair_se(pair):
-        t, q = pair
+    def pair_se(idx):
+        roi = idx // (c - 1)
+        ch = 1 + idx % (c - 1)
+        t = jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(target_onehot, roi, 0, False),
+            ch, target_onehot.ndim - 2, False)
+        q = jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(mask_probs, roi, 0, False),
+            ch, mask_probs.ndim - 2, False)
         g_true = _edge_maps(t[None])
         g_pred = _edge_maps(q[None].astype(jnp.float32))
         if per_class:
@@ -150,7 +165,7 @@ def mask_edge_loss(target_onehot: jnp.ndarray, pos_valid: jnp.ndarray,
         m_pred = jnp.sqrt(jnp.sum(g_pred ** 2, axis=-1) + eps)
         return jnp.mean((m_pred - m_true) ** 2)
 
-    se = jax.lax.map(pair_se, (flat_true, flat_pred))
+    se = jax.lax.map(pair_se, jnp.arange(p * (c - 1)))
     se = se.reshape(p, c - 1).sum(axis=1)  # sum over classes (model.py:963-975)
     pos = pos_valid.astype(se.dtype)
     return jnp.sum(se * pos) / jnp.maximum(jnp.sum(pos), 1.0)

@@ -88,7 +88,7 @@ class DetectionTargets(NamedTuple):
     deltas: jnp.ndarray        # [R, 6] / bbox_std (positives only)
     pos_rois: jnp.ndarray      # [P, 6] normalized positive subset
     pos_valid: jnp.ndarray     # [P] bool
-    masks: jnp.ndarray         # [P, C, mD, mH, mW] one-hot GT crops
+    masks: jnp.ndarray         # [P, mD, mH, mW, C] one-hot GT crops
 
 
 def _masked_random_topk(key, candidate: jnp.ndarray, k: int):

@@ -147,8 +147,8 @@ def test_mask_loss_class_weights():
     cfg = _tiny_lits("together")
     p, c = 2, 3
     m = (4, 4, 4)
-    target = np.zeros((p, c, *m), np.float32)
-    target[:, 2] = 1.0  # everything is class 2 (tumor, weight 100)
+    target = np.zeros((p, *m, c), np.float32)  # channels last
+    target[..., 2] = 1.0  # everything is class 2 (tumor, weight 100)
     logits = np.zeros((p, *m, c), np.float32)
     pos = jnp.asarray([True, False])
     w_loss = float(mask_loss(jnp.asarray(target), pos, jnp.asarray(logits), cfg))
@@ -158,10 +158,10 @@ def test_mask_loss_class_weights():
     np.testing.assert_allclose(w_loss, np.log(3), rtol=1e-5)
     np.testing.assert_allclose(uw_loss, np.log(3), rtol=1e-5)
     # but a mixed-class target weights tumor voxels 100x
-    target[:, 2] = 0.0
-    target[:, 1] = 1.0
-    target[0, 2, 0, 0, 0] = 1.0
-    target[0, 1, 0, 0, 0] = 0.0
+    target[..., 2] = 0.0
+    target[..., 1] = 1.0
+    target[0, 0, 0, 0, 2] = 1.0
+    target[0, 0, 0, 0, 1] = 0.0
     logits2 = np.zeros((p, *m, c), np.float32)
     logits2[..., 1] = 3.0  # confidently predict class 1 everywhere
     lw = float(mask_loss(jnp.asarray(target), pos, jnp.asarray(logits2), cfg))

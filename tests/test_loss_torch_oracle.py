@@ -42,9 +42,9 @@ def test_weighted_mask_ce_matches_torch():
     p, c, m = 2, 3, 5
     logits = rng.normal(size=(p, m, m, m, c)).astype(np.float32)
     labels = rng.integers(0, c, size=(p, m, m, m))
-    onehot = np.zeros((p, c, m, m, m), np.float32)
+    onehot = np.zeros((p, m, m, m, c), np.float32)
     for cls in range(c):
-        onehot[:, cls][labels == cls] = 1.0
+        onehot[..., cls][labels == cls] = 1.0
     cfg = tiny_config().replace(num_classes=c,
                                 mask_class_weights=(1.0, 1.0, 100.0))
     got = float(L.mask_loss(jnp.asarray(onehot), jnp.ones(p, bool),
@@ -74,7 +74,7 @@ def test_edge_loss_matches_manual_torch_pipeline():
     (corrected-magnitude) pipeline."""
     rng = np.random.default_rng(4)
     p, c, m = 2, 3, 9
-    target = (rng.random(size=(p, c, m, m, m)) > 0.5).astype(np.float32)
+    target = (rng.random(size=(p, m, m, m, c)) > 0.5).astype(np.float32)
     probs = rng.random(size=(p, m, m, m, c)).astype(np.float32)
     cfg = tiny_config().replace(num_classes=c)
     got = float(L.mask_edge_loss(jnp.asarray(target), jnp.ones(p, bool),
@@ -86,7 +86,7 @@ def test_edge_loss_matches_manual_torch_pipeline():
     for i in range(p):
         per_roi = 0.0
         for j in range(1, c):
-            gt = torch.from_numpy(target[i, j])[None, None]
+            gt = torch.from_numpy(target[i, ..., j])[None, None]
             pr = torch.from_numpy(probs[i, ..., j])[None, None]
             g_gt = torch.nn.functional.conv3d(gt, kernel)
             g_pr = torch.nn.functional.conv3d(pr, kernel)

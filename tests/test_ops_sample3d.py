@@ -56,7 +56,7 @@ def test_one_hot_crop_matches_manual_nearest():
     box = np.array([0.2, 0.1, 0.3, 0.8, 0.9, 0.95], np.float32)
     out = np.asarray(S.one_hot_crop(jnp.asarray(labels), jnp.asarray(box),
                                     (6, 6, 6), 4))
-    assert out.shape == (4, 6, 6, 6)
+    assert out.shape == (6, 6, 6, 4)  # channels last
     # manual: truncate box to ints, half-pixel nearest resize of the crop
     lo = (box[:3] * 12).astype(np.int64)
     hi = (box[3:] * 12).astype(np.int64)
@@ -70,10 +70,10 @@ def test_one_hot_crop_matches_manual_nearest():
         xs = np.clip(np.floor((np.arange(6) + 0.5) * crop.shape[2] / 6 - 0.5 + 0.5),
                      0, crop.shape[2] - 1).astype(np.int64)
         want = crop[np.ix_(zs, ys, xs)]
-    got_labels = np.argmax(out, axis=0)
+    got_labels = np.argmax(out, axis=-1)
     np.testing.assert_array_equal(got_labels, want)
     # one-hot is exact
-    assert np.all(out.sum(axis=0) == 1)
+    assert np.all(out.sum(axis=-1) == 1)
 
 
 def test_resize_trilinear_matches_separable_numpy():

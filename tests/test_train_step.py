@@ -74,7 +74,7 @@ def test_detection_targets_shapes_and_sampling():
     p_cap = cfg.num_positive_rois
     assert tgt.rois.shape == (cfg.train_rois_per_image, 6)
     assert tgt.pos_rois.shape == (p_cap, 6)
-    assert tgt.masks.shape == (p_cap, cfg.num_classes, *cfg.mask_shape)
+    assert tgt.masks.shape == (p_cap, *cfg.mask_shape, cfg.num_classes)
     n_pos = int(np.asarray(tgt.pos_valid).sum())
     assert n_pos == min(10, p_cap)
     # negatives follow the 1:2 ratio rule: int(pos/ratio) - pos
