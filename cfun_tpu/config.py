@@ -206,9 +206,10 @@ def exact_reference_overrides() -> Dict[str, object]:
 
 def heart_config(stage: str = "beginning", **overrides) -> Config:
     """Whole-heart (MM-WHS 2017) experiment config (heart_main.py:26-174)."""
-    # finetune: 4 x 192^3 U-Net outputs + edge loss need activation remat
+    # the mask U-Net's 4 x 96^3(x2 in finetune) activations are the
+    # biggest train-step memory term -- remat it in both stages
     return Config(name="heart", stage=stage,
-                  remat_unet=(stage == "finetune")).replace(**overrides)
+                  remat_unet=True).replace(**overrides)
 
 
 def heart_inference_config(stage: str = "beginning", **overrides) -> Config:

@@ -217,11 +217,17 @@ def frozen_bn(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Parameter-free instance norm over spatial dims (torch InstanceNorm3d
-    default affine=False, mask_branch.py:28 etc.)."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(x32, axis=(1, 2, 3), keepdims=True)
-    return ((x32 - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+    default affine=False, mask_branch.py:28 etc.).
+
+    Statistics reduce in f32 (tiny [B, C] tensors); the normalization is
+    applied in the input dtype so no f32 copy of the activation is ever
+    materialized (at 4 x 96^3 x 20ch each such copy is 283 MB)."""
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    diff = x - mean.astype(x.dtype)
+    var = jnp.mean(jnp.square(diff), axis=(1, 2, 3), keepdims=True,
+                   dtype=jnp.float32)
+    scale = lax.rsqrt(var + eps)
+    return diff * scale.astype(x.dtype)
 
 
 def relu(x):
