@@ -67,7 +67,9 @@ def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
                     dropout_rate: float = 0.0, dropout_key=None,
                     dtype=jnp.float32) -> jnp.ndarray:
     """crops: [N, D, H, W, 1] raw-image crops -> logits
-    [N, D', H', W', num_classes] (D' = 2D in finetune)."""
+    [N, D', H', W', num_classes] (D' = 2D in finetune), in the compute
+    dtype (an f32 copy of a [4, 192^3, 8] stack is ~1 GB; consumers
+    upcast inside their reductions instead)."""
     return apply_unet(params["unet"], crops, stage=stage,
                       dropout_rate=dropout_rate, dropout_key=dropout_key,
-                      dtype=dtype).astype(jnp.float32)
+                      dtype=dtype)

@@ -64,9 +64,9 @@ def test_infer_forward_jits_and_is_finite(tiny):
     assert out.mask_probs.shape == (dmax, *cfg.mask_pool_size, cfg.num_classes)
     assert np.isfinite(np.asarray(out.mask_probs)).all()
     assert np.isfinite(np.asarray(out.detections)).all()
-    # mask softmax sums to one (float16 on the wire -> loose tolerance)
+    # mask softmax sums to one (bf16 softmax + f16 wire -> loose tolerance)
     np.testing.assert_allclose(
-        np.asarray(out.mask_probs.sum(-1), dtype=np.float32), 1.0, rtol=5e-3)
+        np.asarray(out.mask_probs.sum(-1), dtype=np.float32), 1.0, rtol=2e-2)
     # padded detections have class 0
     det = np.asarray(out.detections)
     kept = np.asarray(out.det_valid)
