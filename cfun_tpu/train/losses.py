@@ -147,26 +147,25 @@ def mask_edge_loss(target_onehot: jnp.ndarray, pos_valid: jnp.ndarray,
     p, c = target_onehot.shape[0], target_onehot.shape[-1]
 
     @jax.checkpoint
-    def pair_se(idx):
-        roi = idx // (c - 1)
-        ch = 1 + idx % (c - 1)
-        t = jax.lax.dynamic_index_in_dim(
-            jax.lax.dynamic_index_in_dim(target_onehot, roi, 0, False),
-            ch, target_onehot.ndim - 2, False)
-        q = jax.lax.dynamic_index_in_dim(
-            jax.lax.dynamic_index_in_dim(mask_probs, roi, 0, False),
-            ch, mask_probs.ndim - 2, False)
-        g_true = _edge_maps(t[None])
-        g_pred = _edge_maps(q[None].astype(jnp.float32))
+    def roi_se(roi):
+        # one ROI per step; FG classes ride the conv's batch dim (the
+        # channel slice is a plain minor-dim slice, layout-neutral)
+        t = jax.lax.dynamic_index_in_dim(target_onehot, roi, 0, False)
+        q = jax.lax.dynamic_index_in_dim(mask_probs, roi, 0, False)
+        t_fg = jnp.moveaxis(t[..., 1:], -1, 0)   # [C-1, m...] (small tensor)
+        q_fg = jnp.moveaxis(q[..., 1:], -1, 0)
+        g_true = _edge_maps(t_fg)
+        g_pred = _edge_maps(q_fg.astype(jnp.float32))
         if per_class:
-            return jnp.mean((g_pred - g_true) ** 2)
+            return jnp.sum(jnp.mean((g_pred - g_true) ** 2,
+                                    axis=(1, 2, 3, 4)))
         eps = 1e-12  # keeps sqrt' finite on flat regions
         m_true = jnp.sqrt(jnp.sum(g_true ** 2, axis=-1) + eps)
         m_pred = jnp.sqrt(jnp.sum(g_pred ** 2, axis=-1) + eps)
-        return jnp.mean((m_pred - m_true) ** 2)
+        # sum over classes, mean over voxels (model.py:963-975)
+        return jnp.sum(jnp.mean((m_pred - m_true) ** 2, axis=(1, 2, 3)))
 
-    se = jax.lax.map(pair_se, jnp.arange(p * (c - 1)))
-    se = se.reshape(p, c - 1).sum(axis=1)  # sum over classes (model.py:963-975)
+    se = jax.lax.map(roi_se, jnp.arange(p))
     pos = pos_valid.astype(se.dtype)
     return jnp.sum(se * pos) / jnp.maximum(jnp.sum(pos), 1.0)
 
