@@ -141,6 +141,28 @@ def test_feeder_produces_valid_batches():
     assert b.gt_box_norm[3] > b.gt_box_norm[0]
 
 
+def test_feeder_survives_bad_volume():
+    cfg = tiny_config()
+    anchors = config_anchors(cfg)
+
+    class Flaky(_SynthDataset):
+        num_images = 3
+
+        def load_image(self, image_id):
+            if image_id == 1:
+                raise IOError("corrupt volume")
+            return super().load_image(image_id)
+
+    feeder = TrainFeeder(Flaky(), cfg, anchors, seed=0, num_workers=2,
+                         prefetch=2)
+    batches = list(feeder.epoch(angle=0.0, steps=4))
+    feeder.close()
+    # the bad volume is skipped with substitutions; the step count holds
+    assert len(batches) == 4
+    for b in batches:
+        assert np.isfinite(np.asarray(b.image, dtype=np.float32)).all()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = tiny_config()
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
