@@ -28,13 +28,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.dirname(_LIB_PATH), "host_ops.cc")
+    stale = (not os.path.exists(_LIB_PATH) or
+             (os.path.exists(src) and
+              os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         build = os.path.join(os.path.dirname(_LIB_PATH), "build.sh")
         try:
             subprocess.run(["sh", build], check=True, capture_output=True,
                            timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
