@@ -38,15 +38,33 @@ def make_mesh(n_devices: Optional[int] = None,
     """Build a ('data', 'space') mesh over the first n devices.
 
     ``space`` defaults to 2 when the device count is even (so both axes are
-    exercised), else 1.
+    exercised), else 1.  On real TPU slices the (data, space) grid is laid
+    out by ``mesh_utils.create_device_mesh`` so the inner 'space' axis (the
+    halo-exchange / GSPMD spatial axis, which communicates every conv) rides
+    nearest-neighbour ICI links; on CPU meshes a flat reshape is used.
     """
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"make_mesh: {n} devices requested but only {len(devices)} "
+            f"{devices[0].platform} device(s) are visible. For CPU mesh "
+            "testing set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+            "before importing jax (see tests/conftest.py).")
     if space is None:
         space = 2 if n % 2 == 0 and n > 1 else 1
-    data = n // space
-    assert data * space == n, f"{n} devices != {data} x {space}"
-    arr = np.asarray(devices[:n]).reshape(data, space)
+    data, rem = divmod(n, space)
+    if rem:
+        raise ValueError(
+            f"make_mesh: {n} devices do not factor into "
+            f"(data={data}, space={space})")
+    if devices[0].platform == "tpu":
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_device_mesh((data, space),
+                                            devices=devices[:n])
+    else:
+        arr = np.asarray(devices[:n]).reshape(data, space)
     return Mesh(arr, ("data", "space"))
 
 
