@@ -121,7 +121,10 @@ class Config:
     # noise is ~1% of the data sigma.  Matters on tunneled/PCIe-bound hosts.
     wire_image_dtype: str = "bfloat16"
     # 'pallas' = single-kernel greedy NMS; 'scan' = lax.scan formulation;
-    # 'auto' = pallas on TPU, scan elsewhere.  Identical keep semantics.
+    # 'auto' = scan (27 ms at K=500, and Pallas grid steps dispatch as
+    # per-step remote calls on tunneled backends, ~32 ms each).  Set
+    # 'pallas' explicitly on directly-attached TPU hosts.  Identical keep
+    # semantics either way (tests/test_pallas_nms.py).
     nms_backend: str = "auto"
     # approx_max_k for the pre-NMS top-1000 score filter: ~100x faster XLA
     # compile than exact top_k fused with the gather pipeline, negligible

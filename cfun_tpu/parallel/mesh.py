@@ -29,8 +29,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cfun_tpu.config import Config
-from cfun_tpu.train.step import (TrainBatch, TrainState, make_optimizer,
-                                 train_forward, trainable_mask)
+from cfun_tpu.train.step import (TrainBatch, TrainState, apply_update,
+                                 batched_train_forward, make_optimizer)
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -105,26 +105,11 @@ def make_parallel_train_step(cfg: Config, anchors, mesh: Mesh):
         return TrainState(params, jax.device_put(opt.init(params), repl),
                           jnp.zeros((), jnp.int32))
 
-    def batched_loss(params, batch: TrainBatch, key):
-        keys = jax.random.split(key, batch.image.shape[0])
-        totals, parts = jax.vmap(
-            lambda b, k: train_forward(params, b, anchors, cfg, k)
-        )(batch, keys)
-        return jnp.mean(totals), jax.tree.map(jnp.mean, parts)
-
     def step(state: TrainState, batch: TrainBatch, key):
-        opt = make_optimizer(cfg, state.params)
         (total, parts), grads = jax.value_and_grad(
-            batched_loss, has_aux=True)(state.params, batch, key)
-        tmask = trainable_mask(state.params, cfg)
-        grads = jax.tree.map(
-            lambda g, m: g if m else jnp.zeros_like(g), grads, tmask)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(
-            lambda u, m: u if m else jnp.zeros_like(u), updates, tmask)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        metrics = dict(parts, total_loss=total)
-        return TrainState(params, opt_state, state.step + 1), metrics
+            batched_train_forward, has_aux=True)(state.params, batch,
+                                                 anchors, cfg, key)
+        return apply_update(cfg, state, grads, total, parts)
 
     step_jit = jax.jit(
         step,

@@ -159,6 +159,40 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
     return L.weighted_total(out, cfg), out
 
 
+def batched_train_forward(params, batch: TrainBatch, anchors, cfg: Config,
+                          key):
+    """Mean loss over a stacked TrainBatch (leading axis = volumes).
+
+    Used by the data-parallel step (cfun_tpu/parallel/mesh.py): under a
+    'data'-sharded batch the mean becomes a psum over ICI via GSPMD.
+    """
+    keys = jax.random.split(key, batch.image.shape[0])
+    totals, parts = jax.vmap(
+        lambda b, k: train_forward(params, b, anchors, cfg, k)
+    )(batch, keys)
+    return jnp.mean(totals), jax.tree.map(jnp.mean, parts)
+
+
+def apply_update(cfg: Config, state: TrainState, grads, total, parts
+                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Shared optimizer-update tail: mask frozen subtrees, SGD update,
+    metrics dict.  The single source of truth for stage gating semantics
+    (used by both the single-device and the mesh-parallel step)."""
+    opt = make_optimizer(cfg, state.params)
+    tmask = trainable_mask(state.params, cfg)
+    grads = jax.tree.map(
+        lambda g, m: g if m else jnp.zeros_like(g), grads, tmask)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    # zero grads keep SGD momentum (and hence updates) at exactly zero
+    # for masked leaves except through weight decay -- mask the decayed
+    # update only for frozen subtrees to avoid drift
+    updates = jax.tree.map(
+        lambda u, m: u if m else jnp.zeros_like(u), updates, tmask)
+    params = optax.apply_updates(state.params, updates)
+    metrics = dict(parts, total_loss=total)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
 def make_train_step(cfg: Config, anchors):
     """Returns (init_state_fn, jitted step_fn)."""
     anchors = jnp.asarray(anchors)
@@ -168,25 +202,9 @@ def make_train_step(cfg: Config, anchors):
         return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
     def step(state: TrainState, batch: TrainBatch, key):
-        opt = make_optimizer(cfg, state.params)
-
-        def loss_fn(p):
-            total, parts = train_forward(p, batch, anchors, cfg, key)
-            return total, parts
-
-        (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        tmask = trainable_mask(state.params, cfg)
-        grads = jax.tree.map(
-            lambda g, m: g if m else jnp.zeros_like(g), grads, tmask)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        # zero grads keep SGD momentum (and hence updates) at exactly zero
-        # for masked leaves except through weight decay -- mask the decayed
-        # update only for frozen subtrees to avoid drift
-        updates = jax.tree.map(
-            lambda u, m: u if m else jnp.zeros_like(u), updates, tmask)
-        params = optax.apply_updates(state.params, updates)
-        metrics = dict(parts, total_loss=total)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        (total, parts), grads = jax.value_and_grad(
+            train_forward, has_aux=True)(state.params, batch, anchors, cfg,
+                                         key)
+        return apply_update(cfg, state, grads, total, parts)
 
     return init_state, jax.jit(step, donate_argnums=(0,))
