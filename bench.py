@@ -59,6 +59,27 @@ def main():
         times.append(time.perf_counter() - t0)
     latency = float(np.median(times))
 
+    # The reference's published-quality path is the finetune stage
+    # (192^3 mask + U-Net upscale head, reference config.py:217-224 +
+    # mask_branch.py:216-218) -- record its latency too.
+    finetune = {}
+    try:
+        cfg_ft = heart_inference_config("finetune")
+        det_ft = Detector(cfg_ft, params)
+        det_ft.detect(vol)
+        t_ft = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            det_ft.detect(vol)
+            t_ft.append(time.perf_counter() - t0)
+        lat_ft = float(np.median(t_ft))
+        finetune = {
+            "finetune_latency_s": round(lat_ft, 4),
+            "finetune_vs_baseline": round(BASELINE_SECONDS / lat_ft, 2),
+        }
+    except Exception as e:  # headline metric must still print
+        finetune = {"finetune_error": repr(e)[:200]}
+
     print(json.dumps({
         "metric": "whole_heart_infer_latency",
         "value": round(latency, 4),
@@ -66,6 +87,7 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / latency, 2),
         "baseline_s": BASELINE_SECONDS,
         "breakdown": {k: round(v, 4) for k, v in det.last_timings.items()},
+        **finetune,
         "device": str(jax.devices()[0]),
     }))
 

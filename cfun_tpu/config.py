@@ -120,6 +120,9 @@ class Config:
     # 'int8' quantizes (clip +-5 sigma, x25.4) -- halves host->device bytes,
     # noise is ~1% of the data sigma.  Matters on tunneled/PCIe-bound hosts.
     wire_image_dtype: str = "bfloat16"
+    # int8 wire quantization scale: 25.4 spans the z-scored heart volume's
+    # +-5 sigma; LiTS HU-windowed volumes live in [0, 1] and use 127
+    wire_int8_scale: float = 25.4
     # 'pallas' = single-kernel greedy NMS; 'scan' = lax.scan formulation;
     # 'auto' = scan (27 ms at K=500, and Pallas grid steps dispatch as
     # per-step remote calls on tunneled backends, ~32 ms each).  Set
@@ -135,6 +138,17 @@ class Config:
     # host paste is a nearest gather.  False: exact reference semantics
     # (trilinear probs to box size, then argmax; utils.py:443-460).
     fast_unmold: bool = False
+    # True: re-z-score the (dequantized) wire volume ON DEVICE.  z-scoring
+    # is affine-invariant, so the host may quantize against cheap sampled
+    # raw-volume stats and stream mold slabs to the device while later
+    # slabs are still being resized -- the serial mold->upload chain
+    # becomes max(mold, upload).  The result equals the reference's
+    # molded-volume z-score (model.py:1902-1904) up to int8 rounding.
+    device_normalize: bool = False
+    # Number of z-slabs the pipelined mold streams per volume (1 = one
+    # upload).  Only used on the fast path (int8 wire + device_normalize +
+    # native mold available).
+    wire_slabs: int = 4
 
     # ------------------------------------------------------------------------
     def __post_init__(self):
@@ -204,7 +218,8 @@ def exact_reference_overrides() -> Dict[str, object]:
     cost): exact top-k, scan NMS, lossless bf16 wire, probability-stack
     unmold."""
     return dict(approx_topk=False, nms_backend="scan",
-                wire_image_dtype="bfloat16", fast_unmold=False)
+                wire_image_dtype="bfloat16", fast_unmold=False,
+                device_normalize=False)
 
 
 def heart_config(stage: str = "beginning", **overrides) -> Config:
@@ -223,8 +238,8 @@ def heart_inference_config(stage: str = "beginning", **overrides) -> Config:
     reference unmold semantics.
     """
     return heart_config(stage=stage, detection_max_instances=1,
-                        wire_image_dtype="int8",
-                        fast_unmold=True).replace(**overrides)
+                        wire_image_dtype="int8", fast_unmold=True,
+                        device_normalize=True).replace(**overrides)
 
 
 def lits_config(stage: str = "beginning", **overrides) -> Config:
@@ -275,8 +290,19 @@ def lits_config(stage: str = "beginning", **overrides) -> Config:
 
 
 def lits_inference_config(stage: str = "finetune", **overrides) -> Config:
-    """LiTS inference override (LiTS_2017/LiTS_main.py:446-451)."""
-    return lits_config(stage, detection_max_instances=10).replace(**overrides)
+    """LiTS inference override (LiTS_2017/LiTS_main.py:446-451).
+
+    Wire defaults for link-bound hosts: int8 upload of the [0, 1]
+    HU-windowed volume and the device-side overlap-tile unmold
+    (``fast_unmold`` with name='lits'), which computes the reference's
+    trilinear-paste + hit-count average + argmax (LiTS_2017/utils.py:
+    383-408) ON DEVICE in molded coordinates, so int8 labels cross the
+    wire instead of the [N, mask, C] float probability stack.  ``--exact``
+    restores the host probability-stack path.
+    """
+    return lits_config(stage, detection_max_instances=10,
+                       wire_image_dtype="int8", wire_int8_scale=127.0,
+                       fast_unmold=True).replace(**overrides)
 
 
 def tiny_config(stage: str = "beginning", **overrides) -> Config:

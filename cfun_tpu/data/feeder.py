@@ -26,7 +26,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from cfun_tpu.config import Config
-from cfun_tpu.data.resample import resize, rotate_hw
+from cfun_tpu.data.resample import pad_resize_nearest, resize, rotate_hw
 from cfun_tpu.train.step import TrainBatch
 from cfun_tpu.train.targets import build_rpn_targets
 
@@ -77,31 +77,47 @@ def mold_volume(image_hwd: np.ndarray, cfg: Config,
     d_t, h_t, w_t = cfg.image_shape
 
     if cfg.pad_shape is not None:  # LiTS pad-then-resize molding
-        image_hwd = normalize_intensity(image_hwd, cfg)
+        from cfun_tpu import native
         pd, ph, pw = cfg.pad_shape  # (D, H, W) pad target
         h0, w0, d0 = image_hwd.shape
-        oh, ow, od = max(0, (ph - h0) // 2), max(0, (pw - w0) // 2), max(0, (pd - d0) // 2)
-        padded = np.zeros((ph, pw, pd), np.float32)
-        padded[oh:oh + h0, ow:ow + w0, od:od + d0] = image_hwd[:ph - oh, :pw - ow, :pd - od]
-        molded = resize(padded, (h_t, w_t, d_t), order=0)
+        oh, ow, od = (max(0, (ph - h0) // 2), max(0, (pw - w0) // 2),
+                      max(0, (pd - d0) // 2))
+        # The pad is virtual everywhere: no (646, 646, 536) f32 buffer
+        # (0.9 GB) is ever materialized -- nearest resize never mixes pad
+        # and interior voxels, so index arithmetic is bit-identical.
+        molded_dhw = None
+        if cfg.intensity_norm == "hu_window":
+            # fused native pass: HU window + virtual pad + nearest resize
+            molded_dhw = native.lits_mold(
+                image_hwd, (ph, pw, pd), (d_t, h_t, w_t), (oh, ow, od),
+                cfg.hu_window)
+        if molded_dhw is None:
+            normed = normalize_intensity(image_hwd, cfg)
+            molded_dhw = pad_resize_nearest(
+                normed, (ph, pw, pd), (h_t, w_t, d_t),
+                (oh, ow, od)).transpose(2, 0, 1)
         sh, sw, sd = h_t / ph, w_t / pw, d_t / pd
         window = np.array([od * sd, oh * sh, ow * sw,
                            (od + d0) * sd, (oh + h0) * sh, (ow + w0) * sw],
                           np.float32)
-        molded_mask = None
+        out_mask = None
         if mask_hwd is not None:
-            pm = np.zeros((ph, pw, pd), mask_hwd.dtype)
-            pm[oh:oh + h0, ow:ow + w0, od:od + d0] = mask_hwd[:ph - oh, :pw - ow, :pd - od]
-            molded_mask = np.rint(resize(pm, (h_t, w_t, d_t), order=0)).astype(np.int32)
-    else:  # heart 'self' molding
-        molded = resize(image_hwd.astype(np.float32), (h_t, w_t, d_t), order=1)
-        window = np.array([0, 0, 0, d_t, h_t, w_t], np.float32)
-        molded_mask = None
-        if mask_hwd is not None:
-            molded_mask = np.rint(
-                resize(mask_hwd, (h_t, w_t, d_t), order=0)).astype(np.int32)
+            out_mask = native.pad_nearest_labels(
+                mask_hwd, (ph, pw, pd), (d_t, h_t, w_t), (oh, ow, od))
+            if out_mask is None:
+                out_mask = pad_resize_nearest(
+                    mask_hwd.astype(np.int32), (ph, pw, pd),
+                    (h_t, w_t, d_t), (oh, ow, od)).transpose(2, 0, 1)
+        return molded_dhw, window, out_mask  # [D, H, W]
 
-    out_mask = molded_mask.transpose(2, 0, 1) if molded_mask is not None else None
+    # heart 'self' molding
+    molded = resize(image_hwd.astype(np.float32), (h_t, w_t, d_t), order=1)
+    window = np.array([0, 0, 0, d_t, h_t, w_t], np.float32)
+    out_mask = None
+    if mask_hwd is not None:
+        out_mask = np.rint(
+            resize(mask_hwd, (h_t, w_t, d_t), order=0)
+        ).astype(np.int32).transpose(2, 0, 1)
     return molded.transpose(2, 0, 1), window, out_mask  # [D, H, W]
 
 
@@ -113,15 +129,39 @@ class TrainFeeder:
     """Bounded-prefetch threaded feeder producing :class:`TrainBatch` items."""
 
     def __init__(self, dataset, cfg: Config, anchors: np.ndarray,
-                 seed: int = 0, num_workers: int = 8, prefetch: int = 8):
+                 seed: int = 0, num_workers: int = 8, prefetch: int = 8,
+                 shard_index: int = 0, num_shards: int = 1):
+        """``shard_index``/``num_shards``: per-host data sharding for
+        multi-process (pod) training -- every host builds the feeder with
+        the SAME seed and its own ``shard_index`` (normally
+        ``jax.process_index()``), and the identical RNG streams make the
+        hosts' id sequences disjoint slices of one global shuffle."""
+        assert 0 <= shard_index < num_shards
         self.dataset = dataset
         self.cfg = cfg
         self.anchors = anchors
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self._rng = np.random.default_rng(seed)
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._lock = threading.Lock()
+
+    def _plan(self, steps: int):
+        """Deterministic (ids, seeds) for this host's ``steps`` items: the
+        global plan covers steps * num_shards items; each shard takes a
+        strided slice."""
+        with self._lock:
+            need = steps * self.num_shards
+            ids = []
+            while len(ids) < need:
+                perm = self._rng.permutation(self.dataset.num_images)
+                ids.extend(perm.tolist())
+            ids = ids[:need]
+            seeds = self._rng.integers(0, 2**31 - 1, size=need)
+        return (ids[self.shard_index::self.num_shards],
+                seeds[self.shard_index::self.num_shards])
 
     def make_item(self, image_id: int, angle: float,
                   seed: int) -> TrainBatch:
@@ -179,14 +219,9 @@ class TrainFeeder:
         )
 
     def epoch(self, angle: float, steps: int) -> Iterator[TrainBatch]:
-        """Yield ``steps`` batches, cycling a fresh shuffle of the dataset."""
-        with self._lock:
-            ids = []
-            while len(ids) < steps:
-                perm = self._rng.permutation(self.dataset.num_images)
-                ids.extend(perm.tolist())
-            ids = ids[:steps]
-            seeds = self._rng.integers(0, 2**31 - 1, size=steps)
+        """Yield ``steps`` batches, cycling a fresh shuffle of the dataset
+        (this host's shard of it when num_shards > 1)."""
+        ids, seeds = self._plan(steps)
 
         futures = deque()
         it = iter(zip(ids, seeds))

@@ -61,6 +61,39 @@ def resize(vol: np.ndarray, out_shape: Tuple[int, ...], order: int = 1) -> np.nd
     return out
 
 
+def pad_resize_nearest(vol_hwd: np.ndarray, pad_shape_hwd: Tuple[int, int, int],
+                       out_shape_hwd: Tuple[int, int, int],
+                       offsets_hwd: Tuple[int, int, int]) -> np.ndarray:
+    """Nearest-resize from a *virtually* center-padded volume.
+
+    Equivalent to ``resize(zero_pad(vol), out_shape, order=0)`` (the LiTS
+    molding, LiTS_2017/model.py:1154-1233) without materializing the pad
+    buffer (0.9 GB at PAD_IMAGE_SHAPE [646, 646, 536]): each output index
+    maps through pad space to a source index, out-of-source voxels become 0.
+    Nearest interpolation never mixes pad and interior values, so the
+    result is bit-identical to the pad-then-resize path.
+    """
+    h0, w0, d0 = vol_hwd.shape[:3]
+
+    def ax(n_out: int, n_pad: int, n_src: int, off: int):
+        s = np.clip((np.arange(n_out, dtype=np.float64) + 0.5) * n_pad /
+                    n_out - 0.5, 0, n_pad - 1)
+        p = np.floor(s + 0.5).astype(np.int64) - off
+        valid = (p >= 0) & (p < n_src)
+        return np.clip(p, 0, n_src - 1), valid
+
+    (ph, pw, pd), (ht, wt, dt) = pad_shape_hwd, out_shape_hwd
+    oh, ow, od = offsets_hwd
+    iy, vy = ax(ht, ph, h0, oh)
+    ix, vx = ax(wt, pw, w0, ow)
+    iz, vz = ax(dt, pd, d0, od)
+    out = vol_hwd[np.ix_(iy, ix, iz)].copy()
+    out[~vy] = 0
+    out[:, ~vx] = 0
+    out[:, :, ~vz] = 0
+    return out
+
+
 _ROTATE_GRID_CACHE: dict = {}
 
 

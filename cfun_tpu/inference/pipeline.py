@@ -44,16 +44,53 @@ class Detector:
         self.anchors = jnp.asarray(config_anchors(cfg))
         self._infer = jax.jit(
             functools.partial(cfun.infer_forward, cfg=cfg))
+        # fast path: one packed int8 D2H fetch (4-bit labels) instead of
+        # three array fetches -- the label volume dominates D2H bytes
+        self._packed = cfg.fast_unmold and cfg.num_classes <= 16
+        if cfg.name == "lits":
+            # device-side overlap-tile paste ships one molded label volume
+            self._labels_shape = tuple(cfg.image_shape)
+        else:
+            self._labels_shape = (cfg.detection_max_instances,
+                                  *(2 * p for p in cfg.mask_pool_size))
+        if self._packed:
+            def _packed_fn(params, slabs, anchors, window):
+                image = jnp.concatenate(slabs, axis=0)[None, :, :, :, None]
+                out = cfun.infer_forward(params, image, anchors, window,
+                                         cfg=cfg)
+                return cfun.pack_fast_output(out)
+            self._infer_packed = jax.jit(_packed_fn)
+        # slab-pipelined host mold: emit int8 z-slabs (quantized against
+        # sampled raw stats; the device re-z-scores) and device_put each
+        # asynchronously, so upload streams while later slabs resize
+        self._pipelined = (self._packed and cfg.device_normalize and
+                           cfg.wire_image_dtype == "int8" and
+                           cfg.pad_shape is None and native.available())
         self.last_timings: Dict[str, float] = {}
 
     def _wire_dtype(self):
         return jnp.int8 if self.cfg.wire_image_dtype == "int8" else jnp.bfloat16
 
+    def _num_slabs(self) -> int:
+        return max(1, min(self.cfg.wire_slabs, self.cfg.image_shape[0])) \
+            if self._pipelined else 1
+
     def warmup(self):
         d, h, w = self.cfg.image_shape
-        img = jnp.zeros((1, d, h, w, 1), self._wire_dtype())
         win = jnp.asarray([0, 0, 0, d, h, w], jnp.float32)
-        out = self._infer(self.params, img, self.anchors, win)
+        if self._packed:
+            ns = self._num_slabs()
+            zs = -(-d // ns)
+            slabs, z = [], 0
+            while z < d:
+                zc = min(zs, d - z)
+                slabs.append(jnp.zeros((zc, h, w), self._wire_dtype()))
+                z += zc
+            out = self._infer_packed(self.params, tuple(slabs),
+                                     self.anchors, win)
+        else:
+            img = jnp.zeros((1, d, h, w, 1), self._wire_dtype())
+            out = self._infer(self.params, img, self.anchors, win)
         jax.block_until_ready(out)
 
     def detect(self, image_hwd: np.ndarray,
@@ -61,42 +98,70 @@ class Detector:
         """image_hwd: [H, W, D] or [H, W, D, 1] raw volume."""
         cfg = self.cfg
         t0 = time.perf_counter()
-        wire = None
-        if cfg.pad_shape is None and native.available():
-            if image_hwd.ndim == 4:
-                image_hwd = image_hwd[..., 0]
-            if cfg.wire_image_dtype == "int8":
-                # one fused native pass: resize + z-score + int8 quantize
-                wire = native.mold_resize_q8(image_hwd, cfg.image_shape,
-                                             5.0, cfun.WIRE_INT8_SCALE)
-            if wire is None:
-                molded = native.mold_resize(image_hwd, cfg.image_shape,
-                                            normalize=True)
-            d, h, w = cfg.image_shape
+        if image_hwd.ndim == 4:
+            image_hwd = image_hwd[..., 0]
+        d, h, w = cfg.image_shape
+
+        slabs = None
+        if self._pipelined:
+            src = np.ascontiguousarray(image_hwd, np.float32)
+            mean, std = native.volume_stats(src)
+            ns = self._num_slabs()
+            zs = -(-d // ns)
+            slabs, z = [], 0
+            while z < d:
+                zc = min(zs, d - z)
+                slab = native.mold_slab_q8(src, cfg.image_shape, z, zc,
+                                           mean, std, 5.0,
+                                           cfg.wire_int8_scale)
+                # async: the transfer streams while the next slab resizes
+                slabs.append(jax.device_put(slab))
+                z += zc
             window = np.array([0, 0, 0, d, h, w], np.float32)
         else:
-            molded, window, _ = mold_volume(image_hwd, cfg)
-            if cfg.pad_shape is None:
-                molded = normalize_intensity(molded, cfg)
+            wire = None
+            if cfg.pad_shape is None and native.available():
+                if cfg.wire_image_dtype == "int8":
+                    # fused native pass: resize + z-score + int8 quantize
+                    wire = native.mold_resize_q8(image_hwd, cfg.image_shape,
+                                                 5.0, cfg.wire_int8_scale)
+                if wire is None:
+                    molded = native.mold_resize(image_hwd, cfg.image_shape,
+                                                normalize=True)
+                window = np.array([0, 0, 0, d, h, w], np.float32)
+            else:
+                molded, window, _ = mold_volume(image_hwd, cfg)
+                if cfg.pad_shape is None:
+                    molded = normalize_intensity(molded, cfg)
+
+            # Shrink the wire: the host<->device link dominates latency on
+            # tunneled/PCIe-bound hosts.  bf16 is lossless for bf16
+            # compute; int8 (clip +-5 sigma) halves it again.
+            if wire is None:
+                if cfg.wire_image_dtype == "int8":
+                    wire = np.clip(molded, -5.0, 5.0)
+                    wire = (wire * cfg.wire_int8_scale).astype(np.int8)
+                else:
+                    wire = molded.astype(ml_dtypes.bfloat16)
+            slabs = [jax.device_put(wire)]
         t1 = time.perf_counter()
 
-        # Shrink the wire: the host<->device link dominates latency on
-        # tunneled/PCIe-bound hosts.  bf16 is lossless for bf16 compute;
-        # int8 (clip +-5 sigma) halves it again (cfg.wire_image_dtype).
-        if wire is None:
-            if cfg.wire_image_dtype == "int8":
-                wire = np.clip(molded, -5.0, 5.0)
-                wire = (wire * cfun.WIRE_INT8_SCALE).astype(np.int8)
-            else:
-                wire = molded.astype(ml_dtypes.bfloat16)
-        out = self._infer(self.params, jnp.asarray(wire[None, ..., None]),
-                          self.anchors, jnp.asarray(window))
-        detections = np.asarray(out.detections)
-        kept = np.asarray(out.det_valid)
-        if out.mask_labels is not None:
-            masks = np.asarray(out.mask_labels)
+        if self._packed:
+            buf = np.asarray(self._infer_packed(
+                self.params, tuple(slabs), self.anchors,
+                jnp.asarray(window)))
+            detections, kept, masks = cfun.unpack_fast_output(
+                buf, cfg.detection_max_instances, self._labels_shape)
         else:
-            masks = np.asarray(out.mask_probs).astype(np.float32)
+            out = self._infer(self.params,
+                              jnp.concatenate(slabs, 0)[None, ..., None],
+                              self.anchors, jnp.asarray(window))
+            detections = np.asarray(out.detections)
+            kept = np.asarray(out.det_valid)
+            if out.mask_labels is not None:
+                masks = np.asarray(out.mask_labels)
+            else:
+                masks = np.asarray(out.mask_probs).astype(np.float32)
         t2 = time.perf_counter()
 
         result = self.unmold(detections, kept, masks,
@@ -107,6 +172,33 @@ class Detector:
         if timings is not None:
             timings.update(self.last_timings)
         return result
+
+    def _molded_labels_to_original(self, labels_molded: np.ndarray,
+                                   orig_shape_hwd) -> np.ndarray:
+        """Invert the (virtual-pad) nearest molding for a [D, H, W] molded
+        label volume: original voxel -> pad coord -> nearest molded index.
+        Returns [D0, H0, W0]."""
+        cfg = self.cfg
+        h0, w0, d0 = orig_shape_hwd[0], orig_shape_hwd[1], orig_shape_hwd[2]
+        dt, ht, wt = cfg.image_shape
+        if cfg.pad_shape is not None:
+            pd, ph, pw = cfg.pad_shape
+            oh, ow, od = (max(0, (ph - h0) // 2), max(0, (pw - w0) // 2),
+                          max(0, (pd - d0) // 2))
+        else:
+            pd, ph, pw = d0, h0, w0
+            oh = ow = od = 0
+
+        def inv(n_src, n_pad, n_out, off):
+            s = np.clip((np.arange(n_src) + off + 0.5) * n_out / n_pad - 0.5,
+                        0, n_out - 1)
+            return np.floor(s + 0.5).astype(np.int64)
+
+        mz = inv(d0, pd, dt, od)
+        my = inv(h0, ph, ht, oh)
+        mx = inv(w0, pw, wt, ow)
+        return labels_molded[mz[:, None, None], my[None, :, None],
+                             mx[None, None, :]]
 
     def unmold(self, detections: np.ndarray, kept: np.ndarray,
                mask_data: np.ndarray, orig_shape_hwd,
@@ -136,6 +228,21 @@ class Detector:
                   * (boxes[:, 5] - boxes[:, 2]))
         good = volume > 0
         boxes, class_ids, scores = boxes[good], class_ids[good], scores[good]
+
+        if mask_data.ndim == 3:
+            # molded-space overlap labels (LiTS fast path): nearest-map the
+            # molded label volume back through the pad geometry
+            full = self._molded_labels_to_original(
+                mask_data, orig_shape_hwd).astype(np.int16)
+            boxes = np.clip(boxes, 0, np.array([d0, h0, w0, d0, h0, w0]))
+            rois = boxes[:, [1, 2, 0, 4, 5, 3]]
+            return {
+                "rois": rois,
+                "class_ids": np.arange(1, cfg.num_classes),
+                "scores": scores,
+                "mask": full.transpose(1, 2, 0),
+            }
+
         masks = mask_data[:n][good]
         labels_mode = masks.ndim == 4  # [N, d, h, w] int8 labels
 

@@ -184,7 +184,51 @@ def refine_detections(rois: jnp.ndarray, roi_valid: jnp.ndarray,
     return det, kept
 
 
-WIRE_INT8_SCALE = 25.4  # clip +-5 sigma of the z-scored volume into int8
+WIRE_INT8_SCALE = 25.4  # default Config.wire_int8_scale (+-5 sigma z-score)
+
+
+def overlap_paste_labels(mask_probs: jnp.ndarray, detections: jnp.ndarray,
+                         valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Device-side overlap-tile mask unmold (LiTS_2017/utils.py:383-408).
+
+    Every valid detection's probability stack is trilinearly resized into
+    its box of the molded volume (``jax.image.scale_and_translate`` with
+    the same half-pixel convention as the reference's resize -- verified
+    to 5e-7), overlapping voxels are averaged by hit count, and the argmax
+    labels come back as int8.  This replaces fetching the
+    [N, mask..., C] float probability stack over the wire with one packed
+    int8 label volume; the only deviation from the reference is that the
+    paste happens in molded coordinates (the host nearest-maps back to the
+    original geometry) -- pinned by tests/test_detector.py.
+
+    mask_probs: [N, md, mh, mw, C]; detections: [N, 8] molded voxel boxes.
+    Returns [D, H, W] int8 labels.
+    """
+    d, h, w = cfg.image_shape
+    n, md, mh, mw, c = mask_probs.shape
+    zi = jnp.arange(d, dtype=jnp.float32)
+    yi = jnp.arange(h, dtype=jnp.float32)
+    xi = jnp.arange(w, dtype=jnp.float32)
+
+    def body(i, carry):
+        acc, cnt = carry
+        box = detections[i, :6]
+        size = jnp.maximum(box[3:] - box[:3], 1.0)
+        scale = size / jnp.asarray([md, mh, mw], jnp.float32)
+        resized = jax.image.scale_and_translate(
+            mask_probs[i].astype(jnp.float32), (d, h, w, c), (0, 1, 2),
+            scale, box[:3], method="trilinear", antialias=False)
+        inside = ((zi >= box[0]) & (zi < box[3]))[:, None, None] * \
+                 ((yi >= box[1]) & (yi < box[4]))[None, :, None] * \
+                 ((xi >= box[2]) & (xi < box[5]))[None, None, :]
+        v = inside.astype(jnp.float32) * valid[i].astype(jnp.float32)
+        return acc + resized * v[..., None], cnt + v
+
+    acc, cnt = jax.lax.fori_loop(
+        0, n, body, (jnp.zeros((d, h, w, c), jnp.float32),
+                     jnp.zeros((d, h, w), jnp.float32)))
+    probs = acc / (cnt[..., None] + 1e-6)
+    return jnp.argmax(jnp.clip(probs, 0.0, 1.0), axis=-1).astype(jnp.int8)
 
 
 class InferOut(NamedTuple):
@@ -192,8 +236,9 @@ class InferOut(NamedTuple):
     det_valid: jnp.ndarray   # [Dmax] bool
     # exact path: [Dmax, mD, mH, mW, C] float16 softmax; fast path: None
     mask_probs: jnp.ndarray | None
-    # fast path: [Dmax, 2mD, 2mH, 2mW] int8 argmax labels (device-side 2x
-    # trilinear upsample first); exact path: None
+    # fast path: int8 argmax labels -- heart: [Dmax, 2mD, 2mH, 2mW]
+    # (device-side 2x trilinear upsample first); LiTS: [D, H, W] molded
+    # overlap-tile paste.  Exact path: None
     mask_labels: jnp.ndarray | None
 
 
@@ -204,7 +249,16 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
     image: [1, D, H, W, 1]; window: [6] voxel coords of valid region.
     """
     if cfg.wire_image_dtype == "int8":
-        image = image.astype(_dtype(cfg)) * (1.0 / WIRE_INT8_SCALE)
+        image = image.astype(_dtype(cfg)) * (1.0 / cfg.wire_int8_scale)
+    if cfg.device_normalize:
+        # Re-z-score on device: z-scoring is affine-invariant, so whatever
+        # affine the host quantized with (sampled raw stats on the
+        # slab-pipelined path), this equals the reference's molded-volume
+        # z-score (model.py:1902-1904) up to int8 rounding.
+        x = image.astype(jnp.float32)
+        mean = jnp.mean(x)
+        var = jnp.maximum(jnp.mean(jnp.square(x)) - jnp.square(mean), 1e-12)
+        image = ((x - mean) * jax.lax.rsqrt(var)).astype(_dtype(cfg))
     trunk = apply_trunk(params, image, cfg)
     proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
                                anchors, cfg, cfg.post_nms_rois_inference)
@@ -223,6 +277,10 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
     mask_logits = apply_mask_head(params["mask"], crops, stage=cfg.stage,
                                   dtype=_dtype(cfg))
     mask_probs = jax.nn.softmax(mask_logits, axis=-1)
+    if cfg.fast_unmold and cfg.name == "lits":
+        # multi-instance overlap-tile unmold on device (molded coords)
+        labels = overlap_paste_labels(mask_probs, detections, kept, cfg)
+        return InferOut(detections, kept, None, labels)
     if cfg.fast_unmold:
         # 2x trilinear upsample + argmax ON DEVICE: only int8 labels cross
         # the wire; the host pastes with a nearest gather.  At finetune the
@@ -238,3 +296,35 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
     # exact reference semantics: ship the probability stack (float16 on the
     # wire; argmax downstream is insensitive to the rounding)
     return InferOut(detections, kept, mask_probs.astype(jnp.float16), None)
+
+
+def pack_fast_output(out: InferOut) -> jnp.ndarray:
+    """Pack the fast-path outputs into ONE int8 wire array so a single D2H
+    fetch (one tunnel RPC) carries everything: detections bitcast to bytes,
+    the validity mask, and the label volume packed two 4-bit labels per
+    byte (requires num_classes <= 16; both variants are 8 and 3).  The
+    label volume dominates D2H bytes on link-bound hosts -- 4-bit packing
+    halves it."""
+    det = jax.lax.bitcast_convert_type(
+        out.detections.astype(jnp.float32), jnp.int8).reshape(-1)
+    val = out.det_valid.astype(jnp.int8)
+    lab = out.mask_labels.reshape(out.mask_labels.shape[0], -1)
+    packed = (lab[:, 0::2] | (lab[:, 1::2] << 4)).reshape(-1)
+    return jnp.concatenate([det, val, packed])
+
+
+def unpack_fast_output(buf, num_det: int, labels_shape):
+    """Host-side inverse of :func:`pack_fast_output` (NumPy).
+
+    Returns (detections [N, 8] f32, kept [N] bool, labels int8 reshaped to
+    ``labels_shape`` -- [N, mask...] per-detection crops or [D, H, W]
+    molded overlap labels)."""
+    import numpy as np
+
+    det = buf[:num_det * 32].view(np.float32).reshape(num_det, 8)
+    kept = buf[num_det * 32:num_det * 33] != 0
+    rest = buf[num_det * 33:].view(np.uint8)
+    lab = np.empty(rest.size * 2, np.int8)
+    lab[0::2] = rest & 0x0F
+    lab[1::2] = rest >> 4
+    return det, kept, lab.reshape(labels_shape)

@@ -56,6 +56,20 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.unmold_argmax_f32.argtypes = [f32p] + [ctypes.c_int] * 4 + [i16p] + \
         [ctypes.c_int] * 9
     lib.unmold_argmax_f32.restype = None
+    lib.volume_stats_f32.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
+    lib.volume_stats_f32.restype = None
+    lib.mold_resize_slab_q8.argtypes = [f32p] + [ctypes.c_int] * 3 + [i8p] + \
+        [ctypes.c_int] * 5 + [ctypes.c_float] * 4
+    lib.mold_resize_slab_q8.restype = None
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.lits_mold_f32.argtypes = [f32p] + [ctypes.c_int] * 9 + [f32p] + \
+        [ctypes.c_int] * 3 + [ctypes.c_float] * 2
+    lib.lits_mold_f32.restype = None
+    lib.pad_nearest_i32.argtypes = [i32p] + [ctypes.c_int] * 9 + [i32p] + \
+        [ctypes.c_int] * 3
+    lib.pad_nearest_i32.restype = None
     _lib = lib
     return _lib
 
@@ -93,6 +107,81 @@ def mold_resize_q8(src_hwd: np.ndarray, out_shape_dhw, clip_sigma: float,
     h0, w0, d0 = src.shape
     lib.mold_resize_q8(src, h0, w0, d0, tmp, dst, dt, ht, wt,
                        float(clip_sigma), float(scale))
+    return dst
+
+
+def volume_stats(src: np.ndarray, stride: int = 523):
+    """Mean/std estimate of a float32 volume from a strided subsample, or
+    None if the native library is unavailable.  Used to pick the int8
+    quantization affine for the slab-pipelined mold; the device re-z-scores
+    (affine-invariant), so sampling error of ~0.2% is irrelevant against
+    the +-5 sigma clip margin.  stride=1 gives the exact single pass."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.float32)
+    mean = ctypes.c_float()
+    std = ctypes.c_float()
+    lib.volume_stats_f32(src, src.size, stride, ctypes.byref(mean),
+                         ctypes.byref(std))
+    return float(mean.value), float(std.value)
+
+
+def mold_slab_q8(src_hwd: np.ndarray, out_shape_dhw, z_start: int,
+                 z_count: int, mean: float, std: float, clip_sigma: float,
+                 scale: float) -> Optional[np.ndarray]:
+    """Resize output z rows [z_start, z_start+z_count) of the molded
+    [Dt, Ht, Wt] volume and quantize with the given affine in one native
+    pass -> int8 slab [z_count, Ht, Wt].  ``src_hwd`` must already be
+    C-contiguous float32 (call sites mold several slabs from one source)."""
+    lib = _load()
+    if lib is None:
+        return None
+    dt, ht, wt = out_shape_dhw
+    dst = np.empty((z_count, ht, wt), np.int8)
+    h0, w0, d0 = src_hwd.shape
+    lib.mold_resize_slab_q8(src_hwd, h0, w0, d0, dst, dt, ht, wt,
+                            int(z_start), int(z_count), float(mean),
+                            float(1.0 / max(std, 1e-6)), float(clip_sigma),
+                            float(scale))
+    return dst
+
+
+def lits_mold(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
+              offsets_hwd, hu_window) -> Optional[np.ndarray]:
+    """Fused inverted-HU-window + virtual center-pad + nearest resize:
+    [H, W, D] raw volume -> [Dt, Ht, Wt] molded LiTS volume in [0, 1], or
+    None if the native library is unavailable.  No pad buffer exists."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src_hwd, np.float32)
+    dt, ht, wt = out_shape_dhw
+    ph, pw, pd = pad_shape_hwd
+    oh, ow, od = offsets_hwd
+    dst = np.empty((dt, ht, wt), np.float32)
+    h0, w0, d0 = src.shape
+    mn, mx = hu_window
+    lib.lits_mold_f32(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
+                      dt, ht, wt, float(mn), float(mx))
+    return dst
+
+
+def pad_nearest_labels(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
+                       offsets_hwd) -> Optional[np.ndarray]:
+    """Virtual-pad nearest label molding: [H, W, D] int labels ->
+    [Dt, Ht, Wt] int32, or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src_hwd, np.int32)
+    dt, ht, wt = out_shape_dhw
+    ph, pw, pd = pad_shape_hwd
+    oh, ow, od = offsets_hwd
+    dst = np.empty((dt, ht, wt), np.int32)
+    h0, w0, d0 = src.shape
+    lib.pad_nearest_i32(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
+                        dt, ht, wt)
     return dst
 
 

@@ -20,6 +20,8 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
+#include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -41,6 +43,144 @@ inline void axis_coords(int n_out, int n_in, float* src, int* i0, int* i1,
   }
 }
 
+struct AxisMap {
+  std::vector<int> i0, i1;
+  std::vector<float> f;
+  AxisMap(int n_out, int n_in) : i0(n_out), i1(n_out), f(n_out) {
+    std::vector<float> s(n_out);
+    axis_coords(n_out, n_in, s.data(), i0.data(), i1.data(), f.data());
+  }
+};
+
+// Tiled trilinear-resize core.  Loop order is y-outer (parallel), x-block,
+// x, z-inner: for a fixed (y, x) the 4 source corner columns are loaded
+// once and the full output-z range is emitted from them, so each source
+// cache line is touched O(1) times instead of once per output z-plane (the
+// round-1 z-outer order re-streamed ~4 GB for a 380 MB source).  Values
+// are staged in a [z_count, XB] tile so the emit callback writes whole
+// contiguous rows.  Interpolation order (z, then x, then y) matches the
+// original kernel bit-for-bit.
+template <typename Emit>
+void resize_tiled(const float* src, int h0, int w0, int d0, int dt, int ht,
+                  int wt, int z_start, int z_end, double* out_sum,
+                  double* out_sumsq, Emit emit) {
+  const AxisMap zm(dt, d0), ym(ht, h0), xm(wt, w0);
+  const int64_t src_h_stride = static_cast<int64_t>(w0) * d0;
+  const int zc = z_end - z_start;
+  constexpr int XB = 128;
+  double sum = 0.0, sumsq = 0.0;
+
+#pragma omp parallel reduction(+ : sum, sumsq)
+  {
+    std::vector<float> tile(static_cast<size_t>(zc) * XB);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      const float fy = ym.f[y];
+      const float* r00 = src + ym.i0[y] * src_h_stride;
+      const float* r10 = src + ym.i1[y] * src_h_stride;
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xi = 0; xi < xn; ++xi) {
+          const int x = xb + xi;
+          const float fx = xm.f[x];
+          const float* p00 = r00 + static_cast<int64_t>(xm.i0[x]) * d0;
+          const float* p01 = r00 + static_cast<int64_t>(xm.i1[x]) * d0;
+          const float* p10 = r10 + static_cast<int64_t>(xm.i0[x]) * d0;
+          const float* p11 = r10 + static_cast<int64_t>(xm.i1[x]) * d0;
+          float* col = tile.data() + xi;
+          for (int z = z_start; z < z_end; ++z) {
+            const int dz0 = zm.i0[z], dz1 = zm.i1[z];
+            const float fz = zm.f[z];
+            const float c00 = p00[dz0] + fz * (p00[dz1] - p00[dz0]);
+            const float c01 = p01[dz0] + fz * (p01[dz1] - p01[dz0]);
+            const float c10 = p10[dz0] + fz * (p10[dz1] - p10[dz0]);
+            const float c11 = p11[dz0] + fz * (p11[dz1] - p11[dz0]);
+            const float c0 = c00 + fx * (c01 - c00);
+            const float c1 = c10 + fx * (c11 - c10);
+            const float v = c0 + fy * (c1 - c0);
+            col[static_cast<size_t>(z - z_start) * XB] = v;
+            sum += v;
+            sumsq += static_cast<double>(v) * v;
+          }
+        }
+        for (int z = 0; z < zc; ++z)
+          emit(z + z_start, y, xb, xn,
+               tile.data() + static_cast<size_t>(z) * XB);
+      }
+    }
+  }
+  if (out_sum != nullptr) {
+    *out_sum = sum;
+    *out_sumsq = sumsq;
+  }
+}
+
+// Per-axis nearest map from output index through *virtually padded* space
+// to a raw-source index (-1 where the padded voxel lies outside the
+// source).  Same convention as data/resample.py::_axis_indices(order=0).
+inline void nearest_pad_axis(int n_out, int n_pad, int n_src, int off,
+                             int* idx) {
+  const double scale = static_cast<double>(n_pad) / n_out;
+  for (int i = 0; i < n_out; ++i) {
+    double s = (static_cast<double>(i) + 0.5) * scale - 0.5;
+    s = std::min(std::max(s, 0.0), static_cast<double>(n_pad - 1));
+    const int p = static_cast<int>(std::floor(s + 0.5)) - off;
+    idx[i] = (p >= 0 && p < n_src) ? p : -1;
+  }
+}
+
+// Virtual-pad nearest-resize core: src [h0, w0, d0] -> dst [dt, ht, wt]
+// (device layout), mapping through a center-pad target (ph, pw, pd) with
+// offsets (oh, ow, od); out-of-source voxels are zero.  `map` transforms
+// each in-source value (HU window for images, identity for labels).
+// Same y-outer / x-block / z-inner tiling as resize_tiled.
+template <typename T, typename Map>
+void pad_nearest_core(const T* src, int h0, int w0, int d0, int ph, int pw,
+                      int pd, int oh, int ow, int od, T* dst, int dt, int ht,
+                      int wt, Map map) {
+  std::vector<int> zi(dt), yi(ht), xi(wt);
+  nearest_pad_axis(dt, pd, d0, od, zi.data());
+  nearest_pad_axis(ht, ph, h0, oh, yi.data());
+  nearest_pad_axis(wt, pw, w0, ow, xi.data());
+  const int64_t hs = static_cast<int64_t>(w0) * d0;
+  constexpr int XB = 128;
+
+#pragma omp parallel
+  {
+    std::vector<T> tile(static_cast<size_t>(dt) * XB);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      const int sy = yi[y];
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xo = 0; xo < xn; ++xo) {
+          const int sx = xi[xb + xo];
+          T* out_col = tile.data() + xo;
+          if (sy < 0 || sx < 0) {
+            for (int z = 0; z < dt; ++z)
+              out_col[static_cast<size_t>(z) * XB] = T(0);
+            continue;
+          }
+          const T* col = src + sy * hs + static_cast<int64_t>(sx) * d0;
+          for (int z = 0; z < dt; ++z) {
+            const int sz = zi[z];
+            out_col[static_cast<size_t>(z) * XB] =
+                sz < 0 ? T(0) : map(col[sz]);
+          }
+        }
+        for (int z = 0; z < dt; ++z)
+          std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt + xb,
+                      tile.data() + static_cast<size_t>(z) * XB,
+                      static_cast<size_t>(xn) * sizeof(T));
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -51,64 +191,13 @@ extern "C" {
 // molded volume, reference model.py:1902-1904).
 void mold_resize_f32(const float* src, int h0, int w0, int d0, float* dst,
                      int dt, int ht, int wt, int normalize) {
-  float* sbuf = new float[dt + ht + wt];
-  int* z0 = new int[2 * (dt + ht + wt)];
-  float* fr = new float[dt + ht + wt];
-  float* s_d = sbuf;           // unused source coords (kept for clarity)
-  int* d_i0 = z0;
-  int* d_i1 = z0 + dt;
-  float* d_f = fr;
-  axis_coords(dt, d0, s_d, d_i0, d_i1, d_f);
-  float* s_h = sbuf + dt;
-  int* h_i0 = z0 + 2 * dt;
-  int* h_i1 = z0 + 2 * dt + ht;
-  float* h_f = fr + dt;
-  axis_coords(ht, h0, s_h, h_i0, h_i1, h_f);
-  float* s_w = sbuf + dt + ht;
-  int* w_i0 = z0 + 2 * (dt + ht);
-  int* w_i1 = z0 + 2 * (dt + ht) + wt;
-  float* w_f = fr + dt + ht;
-  axis_coords(wt, w0, s_w, w_i0, w_i1, w_f);
-
-  const int64_t src_h_stride = static_cast<int64_t>(w0) * d0;
   double sum = 0.0, sumsq = 0.0;
-
-#pragma omp parallel for schedule(static) reduction(+ : sum, sumsq)
-  for (int z = 0; z < dt; ++z) {
-    const int dz0 = d_i0[z], dz1 = d_i1[z];
-    const float fz = d_f[z];
-    float* out_plane = dst + static_cast<int64_t>(z) * ht * wt;
-    for (int y = 0; y < ht; ++y) {
-      const int hy0 = h_i0[y], hy1 = h_i1[y];
-      const float fy = h_f[y];
-      const float* r00 = src + hy0 * src_h_stride;
-      const float* r10 = src + hy1 * src_h_stride;
-      float* out_row = out_plane + static_cast<int64_t>(y) * wt;
-      for (int x = 0; x < wt; ++x) {
-        const int x0 = w_i0[x], x1 = w_i1[x];
-        const float fx = w_f[x];
-        // gather the 8 corners: src[h, w, d] layout
-        const float* p00 = r00 + static_cast<int64_t>(x0) * d0;
-        const float* p01 = r00 + static_cast<int64_t>(x1) * d0;
-        const float* p10 = r10 + static_cast<int64_t>(x0) * d0;
-        const float* p11 = r10 + static_cast<int64_t>(x1) * d0;
-        const float v000 = p00[dz0], v001 = p00[dz1];
-        const float v010 = p01[dz0], v011 = p01[dz1];
-        const float v100 = p10[dz0], v101 = p10[dz1];
-        const float v110 = p11[dz0], v111 = p11[dz1];
-        const float c00 = v000 + fz * (v001 - v000);
-        const float c01 = v010 + fz * (v011 - v010);
-        const float c10 = v100 + fz * (v101 - v100);
-        const float c11 = v110 + fz * (v111 - v110);
-        const float c0 = c00 + fx * (c01 - c00);
-        const float c1 = c10 + fx * (c11 - c10);
-        const float v = c0 + fy * (c1 - c0);
-        out_row[x] = v;
-        sum += v;
-        sumsq += static_cast<double>(v) * v;
-      }
-    }
-  }
+  resize_tiled(src, h0, w0, d0, dt, ht, wt, 0, dt, &sum, &sumsq,
+               [dst, ht, wt](int z, int y, int xb, int n, const float* row) {
+                 std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt +
+                                 xb,
+                             row, static_cast<size_t>(n) * sizeof(float));
+               });
 
   if (normalize) {
     const int64_t n = static_cast<int64_t>(dt) * ht * wt;
@@ -120,10 +209,6 @@ void mold_resize_f32(const float* src, int h0, int w0, int d0, float* dst,
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) dst[i] = (dst[i] - m) * inv;
   }
-
-  delete[] sbuf;
-  delete[] z0;
-  delete[] fr;
 }
 
 // As mold_resize_f32(normalize=1) but additionally emits the z-scored
@@ -206,6 +291,83 @@ void unmold_argmax_f32(const float* probs, int md, int mh, int mw, int c,
       }
     }
   }
+}
+
+// Mean/std estimate of a raw volume from a strided subsample.  Used to
+// pick the int8 quantization grid for the slab-pipelined mold: the device
+// re-z-scores (z-scoring is affine-invariant), so these stats only need to
+// map the data into int8 range, not match the molded-volume stats --
+// sampling error of a few permille is irrelevant against the +-5 sigma
+// clip margin.  stride=1 gives the exact pass.
+void volume_stats_f32(const float* src, int64_t n, int64_t stride,
+                      float* out_mean, float* out_std) {
+  if (stride < 1) stride = 1;
+  double sum = 0.0, sumsq = 0.0;
+  int64_t count = 0;
+#pragma omp parallel for schedule(static) reduction(+ : sum, sumsq, count)
+  for (int64_t i = 0; i < n; i += stride) {
+    const double v = src[i];
+    sum += v;
+    sumsq += v * v;
+    ++count;
+  }
+  const double mean = sum / static_cast<double>(count);
+  double var = sumsq / static_cast<double>(count) - mean * mean;
+  if (var < 1e-12) var = 1.0;
+  *out_mean = static_cast<float>(mean);
+  *out_std = static_cast<float>(std::sqrt(var));
+}
+
+// Slab variant of mold_resize_q8: resizes output z rows
+// [z_start, z_start + z_count) of the [dt, ht, wt] molded volume and emits
+// int8 directly into dst (slab buffer [z_count, ht, wt]) using a caller-
+// provided affine (mean / inv_std from volume_stats_f32).  No f32
+// intermediate exists, so slabs can stream to the device while later slabs
+// are still being resized (the mold<->upload overlap that breaks the
+// serial mold -> upload -> compute chain of the reference-shaped pipeline,
+// reference model.py:1774-1810 + .cuda() at model.py:1612-1619).
+void mold_resize_slab_q8(const float* src, int h0, int w0, int d0,
+                         int8_t* dst, int dt, int ht, int wt, int z_start,
+                         int z_count, float mean, float inv_std,
+                         float clip_sigma, float scale) {
+  const int z_end = std::min(z_start + z_count, dt);
+  resize_tiled(
+      src, h0, w0, d0, dt, ht, wt, z_start, z_end, nullptr, nullptr,
+      [dst, ht, wt, z_start, mean, inv_std, clip_sigma, scale](
+          int z, int y, int xb, int n, const float* row) {
+        int8_t* out =
+            dst + (static_cast<int64_t>(z - z_start) * ht + y) * wt + xb;
+        for (int i = 0; i < n; ++i) {
+          float v = (row[i] - mean) * inv_std;
+          v = std::min(std::max(v, -clip_sigma), clip_sigma) * scale;
+          out[i] = static_cast<int8_t>(v);  // trunc, matching numpy astype
+        }
+      });
+}
+
+// Fused LiTS molding (LiTS_2017/model.py:1154-1233 + HU window
+// 1875-1886): inverted HU window + virtual center-pad + nearest resize,
+// emitting device [D, H, W] layout directly.  Neither the 0.9 GB pad
+// buffer (PAD_IMAGE_SHAPE [646, 646, 536] f32) nor a full-volume window
+// pass is ever materialized.  Pad voxels are exactly 0, matching the
+// reference's zero-pad of the windowed volume.
+void lits_mold_f32(const float* src, int h0, int w0, int d0, int ph, int pw,
+                   int pd, int oh, int ow, int od, float* dst, int dt,
+                   int ht, int wt, float mn, float mx) {
+  const float inv = 1.0f / (mx - mn);
+  pad_nearest_core<float>(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst, dt,
+                          ht, wt, [mn, inv](float v) {
+                            const float t = (v - mn) * inv;
+                            return std::min(std::max(t, 0.0f), 1.0f);
+                          });
+}
+
+// Label-volume variant: virtual-pad nearest resize, no intensity map.
+void pad_nearest_i32(const int32_t* src, int h0, int w0, int d0, int ph,
+                     int pw, int pd, int oh, int ow, int od, int32_t* dst,
+                     int dt, int ht, int wt) {
+  pad_nearest_core<int32_t>(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
+                            dt, ht, wt, [](int32_t v) { return v; });
 }
 
 int cfun_native_num_threads() {

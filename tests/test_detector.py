@@ -45,3 +45,73 @@ def test_detector_fast_wire_path_close_to_exact():
     assert r_fast["mask"].shape == r_exact["mask"].shape
     agree = (r_fast["mask"] == r_exact["mask"]).mean()
     assert agree > 0.95, f"fast/exact agreement only {agree:.3f}"
+
+
+def test_pack_unpack_roundtrip():
+    """pack_fast_output <-> unpack_fast_output carry detections, validity
+    and 4-bit labels bit-exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    det = rng.normal(size=(3, 8)).astype(np.float32)
+    valid = np.array([True, False, True])
+    labels = rng.integers(0, 8, size=(3, 4, 6, 8)).astype(np.int8)
+
+    from cfun_tpu.models.cfun import (InferOut, pack_fast_output,
+                                      unpack_fast_output)
+    out = InferOut(jnp.asarray(det), jnp.asarray(valid), None,
+                   jnp.asarray(labels))
+    buf = np.asarray(pack_fast_output(out))
+    det2, valid2, labels2 = unpack_fast_output(buf, 3, (3, 4, 6, 8))
+    np.testing.assert_array_equal(det, det2)
+    np.testing.assert_array_equal(valid, valid2)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_detector_pipelined_path_close_to_exact():
+    """The slab-pipelined mold (native slab quantize + device re-z-score)
+    agrees with the exact path; skipped when the native lib is missing."""
+    from cfun_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("native host-ops unavailable")
+
+    base = tiny_config(stage="beginning").replace(detection_max_instances=1)
+    pipe = base.replace(wire_image_dtype="int8", fast_unmold=True,
+                        device_normalize=True, wire_slabs=3)
+    params = cfun.init_params(jax.random.PRNGKey(0), base)
+
+    rng = np.random.default_rng(1)
+    image = rng.normal(size=(64, 64, 32)).astype(np.float32)
+    image[16:48, 16:48, 8:24] += 3.0
+
+    det_pipe = Detector(pipe, params)
+    assert det_pipe._pipelined, "pipelined preconditions not met"
+    det_pipe.warmup()
+    r_exact = Detector(base, params).detect(image)
+    r_pipe = det_pipe.detect(image)
+    assert r_pipe["mask"].shape == r_exact["mask"].shape
+    agree = (r_pipe["mask"] == r_exact["mask"]).mean()
+    assert agree > 0.95, f"pipelined/exact agreement only {agree:.3f}"
+
+
+def test_detector_lits_overlap_fast_path_close_to_exact():
+    """The device-side overlap-tile unmold (molded-space paste + argmax +
+    packed int8 fetch) agrees with the exact host probability-stack path
+    (LiTS_2017/utils.py:383-408 semantics)."""
+    base = tiny_config(stage="beginning").replace(
+        name="lits", detection_max_instances=3,
+        intensity_norm="hu_window", pad_shape=(40, 70, 70))
+    fast = base.replace(wire_image_dtype="int8", wire_int8_scale=127.0,
+                        fast_unmold=True)
+    params = cfun.init_params(jax.random.PRNGKey(0), base)
+
+    rng = np.random.default_rng(4)
+    image = rng.normal(0, 200, size=(60, 66, 36)).astype(np.float32)
+    image[20:50, 20:50, 10:30] -= 450.0  # bright after the inverted window
+
+    r_exact = Detector(base, params).detect(image)
+    r_fast = Detector(fast, params).detect(image)
+    assert r_fast["mask"].shape == r_exact["mask"].shape
+    agree = (r_fast["mask"] == r_exact["mask"]).mean()
+    assert agree > 0.95, f"lits fast/exact agreement only {agree:.3f}"

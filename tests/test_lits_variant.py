@@ -168,3 +168,42 @@ def test_mask_loss_class_weights():
     lu = float(mask_loss(jnp.asarray(target), pos, jnp.asarray(logits2),
                          cfg.replace(mask_class_weights=None)))
     assert lw > lu  # the missed tumor voxel dominates under weighting
+
+
+def test_fused_lits_mold_matches_literal_pad_path():
+    """The virtual-pad molds (native lits_mold / numpy pad_resize_nearest)
+    must be bit-identical to the literal normalize->zero-pad->nearest-resize
+    reference path (LiTS_2017/model.py:1154-1233) without ever allocating
+    the pad buffer."""
+    import numpy as np
+
+    from cfun_tpu.config import lits_config
+    from cfun_tpu.data.feeder import mold_volume, normalize_intensity
+    from cfun_tpu.data.resample import pad_resize_nearest, resize
+
+    cfg = lits_config("beginning").replace(image_shape=(64, 80, 80),
+                                           pad_shape=(134, 162, 162))
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 200, size=(120, 130, 90)).astype(np.float32)
+    mask = (rng.random((120, 130, 90)) > 0.8).astype(np.int32) * 2
+
+    # literal reference path
+    normed = normalize_intensity(img, cfg)
+    pd, ph, pw = cfg.pad_shape
+    h0, w0, d0 = img.shape
+    oh, ow, od = (ph - h0) // 2, (pw - w0) // 2, (pd - d0) // 2
+    padded = np.zeros((ph, pw, pd), np.float32)
+    padded[oh:oh + h0, ow:ow + w0, od:od + d0] = normed
+    d_t, h_t, w_t = cfg.image_shape
+    ref_molded = resize(padded, (h_t, w_t, d_t), order=0).transpose(2, 0, 1)
+    pm = np.zeros((ph, pw, pd), np.int32)
+    pm[oh:oh + h0, ow:ow + w0, od:od + d0] = mask
+    ref_mask = resize(pm, (h_t, w_t, d_t), order=0).transpose(2, 0, 1)
+
+    molded, _window, out_mask = mold_volume(img[..., None], cfg, mask)
+    assert np.abs(molded - ref_molded).max() < 1e-6
+    np.testing.assert_array_equal(out_mask, ref_mask)
+
+    fb = pad_resize_nearest(normed, (ph, pw, pd), (h_t, w_t, d_t),
+                            (oh, ow, od)).transpose(2, 0, 1)
+    np.testing.assert_array_equal(fb, ref_molded)
