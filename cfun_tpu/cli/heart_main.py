@@ -137,15 +137,29 @@ def main(argv=None):
     parser.add_argument("--bbox", default="false")
     parser.add_argument("--epochs", default=None, type=int)
     parser.add_argument("--workers", default=8, type=int)
+    parser.add_argument("--exact", action="store_true",
+                        help="disable every wire/unmold approximation "
+                             "(exact top-k, scan NMS, bf16 wire, "
+                             "probability-stack unmold) for reference-exact "
+                             "numerics at latency cost")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace into DIR "
+                             "(TensorBoard/Perfetto-compatible)")
     args = parser.parse_args(argv)
+
+    import contextlib
 
     import jax
 
-    from cfun_tpu.config import heart_config, heart_inference_config
+    from cfun_tpu.config import (exact_reference_overrides, heart_config,
+                                 heart_inference_config)
+    from cfun_tpu.utils.profiling import device_trace
     from cfun_tpu.data.datasets import HeartDataset
     from cfun_tpu.models import cfun
     from cfun_tpu.utils import checkpoint
 
+    trace_ctx = (device_trace(args.trace) if args.trace
+                 else contextlib.nullcontext())
     if args.command == "train":
         cfg = heart_config(args.stage)
         train_ds = HeartDataset()
@@ -157,22 +171,28 @@ def main(argv=None):
         from cfun_tpu.train.loop import train_model
         print(cfg.describe())
         print("Training...")
-        train_model(cfg, train_ds, val_ds, log_dir=args.logs,
-                    weights=args.weights, epochs=args.epochs,
-                    num_workers=args.workers)
+        with trace_ctx:
+            train_model(cfg, train_ds, val_ds, log_dir=args.logs,
+                        weights=args.weights, epochs=args.epochs,
+                        num_workers=args.workers)
     elif args.command in ("test", "submit"):
-        cfg = heart_inference_config(args.stage)
+        overrides = exact_reference_overrides() if args.exact else {}
+        cfg = heart_inference_config(args.stage, **overrides)
         params = cfun.init_params(jax.random.PRNGKey(0), cfg)
         if args.weights.lower() != "none":
             params, _, _ = checkpoint.load(args.weights, params, strict=False)
             print("Weights loaded:", args.weights)
         if args.command == "test":
-            print("Testing...")
-            run_test(cfg, params, args.data, args.limit,
-                     args.save.lower() == "true", args.bbox.lower() == "true")
+            print("Testing..." + (" (exact reference mode)" if args.exact
+                                  else ""))
+            with trace_ctx:
+                run_test(cfg, params, args.data, args.limit,
+                         args.save.lower() == "true",
+                         args.bbox.lower() == "true")
         else:
             print("Predicting...")
-            run_submit(cfg, params, args.data, args.limit)
+            with trace_ctx:
+                run_submit(cfg, params, args.data, args.limit)
     else:
         parser.error(f"'{args.command}' is not recognized. "
                      "Use 'train', 'test' or 'submit'")

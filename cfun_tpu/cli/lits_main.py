@@ -157,6 +157,11 @@ def main(argv=None):
     parser.add_argument("--bbox", default="false")
     parser.add_argument("--epochs", default=None, type=int)
     parser.add_argument("--workers", default=8, type=int)
+    parser.add_argument("--exact", action="store_true",
+                        help="disable every wire/unmold approximation for "
+                             "reference-exact numerics at latency cost")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace into DIR")
     args = parser.parse_args(argv)
 
     if args.command == "preprocess":
@@ -164,13 +169,19 @@ def main(argv=None):
         preprocess(args.data, args.out or args.data)
         return
 
+    import contextlib
+
     import jax
 
-    from cfun_tpu.config import lits_config, lits_inference_config
+    from cfun_tpu.config import (exact_reference_overrides, lits_config,
+                                 lits_inference_config)
+    from cfun_tpu.utils.profiling import device_trace
     from cfun_tpu.data.datasets import LiTSDataset
     from cfun_tpu.models import cfun
     from cfun_tpu.utils import checkpoint
 
+    trace_ctx = (device_trace(args.trace) if args.trace
+                 else contextlib.nullcontext())
     if args.command == "train":
         cfg = lits_config(args.stage)
         train_ds = LiTSDataset()
@@ -182,12 +193,14 @@ def main(argv=None):
         from cfun_tpu.train.loop import train_model
         print(cfg.describe())
         print("Training...")
-        train_model(cfg, train_ds, val_ds, log_dir=args.logs,
-                    weights=args.weights, epochs=args.epochs,
-                    num_workers=args.workers)
+        with trace_ctx:
+            train_model(cfg, train_ds, val_ds, log_dir=args.logs,
+                        weights=args.weights, epochs=args.epochs,
+                        num_workers=args.workers)
         return
 
-    cfg = lits_inference_config(args.stage)
+    overrides = exact_reference_overrides() if args.exact else {}
+    cfg = lits_inference_config(args.stage, **overrides)
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
     if args.weights.lower() != "none":
         # key-filtered load supports stage-to-stage transfer
@@ -195,12 +208,14 @@ def main(argv=None):
         params, _, _ = checkpoint.load(args.weights, params, strict=False)
         print("Weights loaded:", args.weights)
     if args.command == "test":
-        print("Testing...")
-        run_test(cfg, params, args.data, args.limit,
-                 args.save.lower() == "true", args.bbox.lower() == "true")
+        print("Testing..." + (" (exact reference mode)" if args.exact else ""))
+        with trace_ctx:
+            run_test(cfg, params, args.data, args.limit,
+                     args.save.lower() == "true", args.bbox.lower() == "true")
     elif args.command == "submit":
         print("Predicting...")
-        run_submit(cfg, params, args.data)
+        with trace_ctx:
+            run_submit(cfg, params, args.data)
     else:
         parser.error(f"'{args.command}' is not recognized.")
 

@@ -114,3 +114,29 @@ def test_heart_cli_test_command(synth_root, monkeypatch, tmp_path):
     # exported volumes are loadable label maps at original geometry
     data, _ = nifti.load(str(tmp_path / "results" / saved[0]))
     assert data.shape == (48, 48, 24)
+
+
+def test_heart_cli_exact_flag_reaches_config(synth_root, monkeypatch):
+    """`--exact` must wire exact_reference_overrides() into the inference
+    config (VERDICT r1: reported IoU/Dice otherwise always includes the
+    int8-wire + device-argmax approximations)."""
+    import cfun_tpu.cli.heart_main as hm
+
+    seen = {}
+
+    def fake_run_test(cfg, params, data_dir, limit, save, bbox):
+        seen["cfg"] = cfg
+
+    monkeypatch.setattr(hm, "run_test", fake_run_test)
+    hm.main(["test", "--weights", "none", "--stage", "beginning",
+             "--data", synth_root, "--exact"])
+    cfg = seen["cfg"]
+    assert cfg.wire_image_dtype == "bfloat16"
+    assert cfg.fast_unmold is False
+    assert cfg.approx_topk is False
+    assert cfg.nms_backend == "scan"
+
+    hm.main(["test", "--weights", "none", "--stage", "beginning",
+             "--data", synth_root])
+    cfg = seen["cfg"]
+    assert cfg.wire_image_dtype == "int8" and cfg.fast_unmold is True

@@ -283,3 +283,49 @@ def test_full_checkpoint_conversion(ref, ref_p3d):
         jnp.asarray(config_anchors(CFG)),
         jnp.asarray([0, 0, 0, d, h, w], jnp.float32), cfg=CFG)
     assert np.all(np.isfinite(np.asarray(out.detections)))
+
+
+def test_geometry_ops_ab_vs_reference(ref):
+    """Direct A/B of the L2 geometry ops against the reference's own code
+    (utils.py:73-157, model.py:155-196) on shared random inputs -- catches
+    IoU/coordinate-convention drift that hand oracles could share."""
+    utils_ref = ref.model.utils
+    rng = np.random.default_rng(0)
+    lo = rng.uniform(0, 60, size=(40, 3))
+    sz = rng.uniform(4, 40, size=(40, 3))
+    boxes = np.concatenate([lo, lo + sz], -1).astype(np.float32)
+    scores = rng.random(40).astype(np.float32)
+
+    # greedy NMS (utils.py:122-157)
+    from cfun_tpu.ops.nms import masked_nms
+    keep_ref = utils_ref.non_max_suppression(boxes, scores, 0.3, 10)
+    order = np.argsort(scores)[::-1].copy()
+    idx, keep = masked_nms(jnp.asarray(boxes[order]),
+                           jnp.asarray(scores[order]),
+                           jnp.ones(40, bool), 0.3, 10)
+    got = order[np.asarray(idx)][np.asarray(keep)]
+    np.testing.assert_array_equal(got, keep_ref)
+
+    # apply_box_deltas (model.py:155-182)
+    from cfun_tpu.ops.boxes import apply_box_deltas, clip_boxes, pairwise_iou
+    deltas = rng.normal(0, 0.1, size=(40, 6)).astype(np.float32)
+    want = ref.model.apply_box_deltas(torch.from_numpy(boxes),
+                                      torch.from_numpy(deltas)).numpy()
+    ours = np.asarray(apply_box_deltas(jnp.asarray(boxes),
+                                       jnp.asarray(deltas)))
+    np.testing.assert_allclose(ours, want, rtol=1e-5, atol=1e-4)
+
+    # clip_boxes (model.py:185-196)
+    window = np.array([0, 0, 0, 64, 80, 80], np.float32)
+    want = ref.model.clip_boxes(torch.from_numpy(boxes), window).numpy()
+    ours = np.asarray(clip_boxes(jnp.asarray(boxes), jnp.asarray(window)))
+    np.testing.assert_allclose(ours, want, rtol=1e-6, atol=1e-5)
+
+    # compute_overlaps (utils.py:73-89)
+    lo2 = rng.uniform(0, 60, size=(7, 3))
+    sz2 = rng.uniform(4, 40, size=(7, 3))
+    boxes2 = np.concatenate([lo2, lo2 + sz2], -1).astype(np.float32)
+    want = utils_ref.compute_overlaps(boxes.astype(np.float64),
+                                      boxes2.astype(np.float64))
+    ours = np.asarray(pairwise_iou(jnp.asarray(boxes), jnp.asarray(boxes2)))
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5)
