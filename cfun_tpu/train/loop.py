@@ -66,10 +66,16 @@ def train_model(cfg: Config, train_dataset, val_dataset,
     val_forward = jax.jit(
         lambda p, b, a, k: train_forward(p, b, a, cfg, k))
 
+    # per-host data sharding: on a multi-process pod every host feeds its
+    # own disjoint slice of the global shuffle (same seed on all hosts)
     feeder = TrainFeeder(train_dataset, cfg, anchors, seed=seed,
-                         num_workers=num_workers)
+                         num_workers=num_workers,
+                         shard_index=jax.process_index(),
+                         num_shards=jax.process_count())
     val_feeder = TrainFeeder(val_dataset, cfg, anchors, seed=seed + 1,
-                             num_workers=max(2, num_workers // 2))
+                             num_workers=max(2, num_workers // 2),
+                             shard_index=jax.process_index(),
+                             num_shards=jax.process_count())
     anchors_dev = jnp.asarray(anchors)
     ckpt_path = os.path.join(run_dir, "model")
 
@@ -109,16 +115,20 @@ def train_model(cfg: Config, train_dataset, val_dataset,
                     val_loss += float(total) / steps
                 logger.log({"epoch": epoch, "val_loss": val_loss})
                 print(f"  val loss {val_loss:.5f}")
-                checkpoint.save(ckpt_path, state.params, epoch=epoch,
-                                step=int(state.step),
-                                opt_state=state.opt_state,
-                                meta={"name": cfg.name, "stage": cfg.stage,
-                                      "loss": total_sum,
-                                      "val_loss": val_loss})
+                # async: only the D2H fetch blocks here; the npz write
+                # overlaps the next epoch
+                checkpoint.save_async(ckpt_path, state.params, epoch=epoch,
+                                      step=int(state.step),
+                                      opt_state=state.opt_state,
+                                      meta={"name": cfg.name,
+                                            "stage": cfg.stage,
+                                            "loss": total_sum,
+                                            "val_loss": val_loss})
     finally:
         feeder.close()
         val_feeder.close()
         logger.close()
+        checkpoint.flush()
 
     checkpoint.save(ckpt_path, state.params, epoch=epochs,
                     step=int(state.step), opt_state=state.opt_state,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -43,6 +44,34 @@ def save(path: str, params, epoch: int = 0, step: int = 0,
         json.dumps(info).encode(), dtype=np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+_WRITER: Optional[ThreadPoolExecutor] = None
+_PENDING = []
+
+
+def save_async(path: str, params, epoch: int = 0, step: int = 0,
+               opt_state: Any = None, meta: Optional[Dict] = None) -> None:
+    """Like :func:`save`, but only the device->host fetch happens on the
+    caller's thread; the npz serialization + disk write run on a single
+    background writer thread (writes to one path stay ordered).  Call
+    :func:`flush` before reading the files back or exiting."""
+    global _WRITER
+    # materialize now: the caller may donate these buffers to the next step
+    params_np = jax.tree.map(np.asarray, params)
+    opt_np = None if opt_state is None else jax.tree.map(
+        np.asarray, opt_state)
+    if _WRITER is None:
+        _WRITER = ThreadPoolExecutor(max_workers=1)
+    _PENDING.append(_WRITER.submit(save, path, params_np, epoch, step,
+                                   opt_np, meta))
+
+
+def flush() -> None:
+    """Block until all async checkpoint writes have completed (re-raises
+    the first writer exception, if any)."""
+    while _PENDING:
+        _PENDING.pop(0).result()
 
 
 def load(path: str, params_template, opt_template: Any = None,

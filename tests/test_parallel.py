@@ -40,3 +40,45 @@ def test_parallel_train_step_runs(space):
     # second step exercises donated-buffer path
     state, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_per_host_feeder_sharding_partitions_global_plan():
+    """Multi-process-shaped check (faked process count): feeders built with
+    the same seed and distinct shard_index produce disjoint, deterministic
+    slices that together equal the unsharded global plan."""
+    import types
+
+    import numpy as np
+
+    from cfun_tpu.config import tiny_config
+    from cfun_tpu.data.feeder import TrainFeeder
+
+    cfg = tiny_config()
+    ds = types.SimpleNamespace(num_images=10)
+    anchors = np.zeros((4, 6), np.float32)
+    steps, shards = 7, 4
+
+    global_feeder = TrainFeeder(ds, cfg, anchors, seed=3, num_workers=1)
+    # reproduce the global plan: one unsharded feeder asked for the full
+    # steps * shards items
+    gids, gseeds = global_feeder._plan(steps * shards)
+    global_feeder.close()
+
+    seen = []
+    for idx in range(shards):
+        f = TrainFeeder(ds, cfg, anchors, seed=3, num_workers=1,
+                        shard_index=idx, num_shards=shards)
+        ids, seeds = f._plan(steps)
+        f.close()
+        assert len(ids) == steps
+        assert ids == gids[idx::shards]
+        np.testing.assert_array_equal(seeds, gseeds[idx::shards])
+        seen.append((ids, seeds))
+
+    # deterministic: rebuilding shard 0 reproduces it exactly
+    f = TrainFeeder(ds, cfg, anchors, seed=3, num_workers=1,
+                    shard_index=0, num_shards=shards)
+    ids2, seeds2 = f._plan(steps)
+    f.close()
+    assert ids2 == seen[0][0]
+    np.testing.assert_array_equal(seeds2, seen[0][1])
