@@ -38,12 +38,17 @@ from cfun_tpu.train.targets import build_rpn_targets
 def np_mask_to_extended_bbox(labels_dhw: np.ndarray, frac: float = 0.05
                              ) -> np.ndarray:
     """Whole-organ bbox of nonzero labels, extended 5% per face
-    (model.py:1057-1075).  Returns [6] float (z1, y1, x1, z2, y2, x2)."""
-    nz = np.nonzero(labels_dhw > 0)
-    if nz[0].size == 0:
+    (model.py:1057-1075).  Returns [6] float (z1, y1, x1, z2, y2, x2).
+
+    Axis-wise ``any`` reductions instead of ``np.nonzero`` -- equivalent
+    min/max, without materializing the (~50 MB) index arrays."""
+    nz = labels_dhw > 0
+    axes = [nz.any(axis=(1, 2)), nz.any(axis=(0, 2)), nz.any(axis=(0, 1))]
+    if not bool(axes[0].any()):
         return np.zeros(6, np.float32)
-    lo = np.array([a.min() for a in nz], np.float64)
-    hi = np.array([a.max() + 1 for a in nz], np.float64)
+    lo = np.array([int(a.argmax()) for a in axes], np.float64)
+    hi = np.array([a.size - int(a[::-1].argmax()) for a in axes],
+                  np.float64)
     size = hi - lo
     lo = np.floor(np.maximum(lo - frac * size, 0))
     hi = np.ceil(np.minimum(hi + frac * size, labels_dhw.shape))
@@ -169,26 +174,38 @@ class TrainFeeder:
         image = self.dataset.load_image(image_id)  # [H, W, D, 1]
         mask = self.dataset.load_mask(image_id)    # [H, W, D]
 
+        image_out = None
         if cfg.pad_shape is None:
             # heart path: mold first (matches dataset __getitem__,
             # model.py:1211-1235), rotate after resize (load_image_gt)
             from cfun_tpu import native
-            if native.available():
-                molded = native.mold_resize(
+            if cfg.compute_dtype == "bfloat16":
+                # one fused native pass: resize + rotate + z-score + bf16
+                molded_bf16 = native.heart_train_mold(
                     image[..., 0] if image.ndim == 4 else image,
-                    cfg.image_shape, normalize=False)
-                d_t, h_t, w_t = cfg.image_shape
-                labels = np.rint(resize(mask, (h_t, w_t, d_t), order=0)
-                                 ).astype(np.int32).transpose(2, 0, 1)
-            else:
-                molded, _window, labels = mold_volume(image, cfg, mask)
-            if angle != 0.0:
-                # rotate in the (H, W) plane: device layout is [D, H, W]
-                molded = rotate_hw(molded.transpose(1, 2, 0), angle,
-                                   order=0).transpose(2, 0, 1)
-                labels = rotate_hw(labels.transpose(1, 2, 0), angle,
-                                   order=0).transpose(2, 0, 1)
-            molded = normalize_intensity(molded, cfg)
+                    cfg.image_shape, angle)
+                if molded_bf16 is not None:
+                    labels = native.heart_train_labels(
+                        mask, cfg.image_shape, angle)
+                    image_out = molded_bf16[None, ..., None]
+            if image_out is None:
+                if native.available():
+                    molded = native.mold_resize(
+                        image[..., 0] if image.ndim == 4 else image,
+                        cfg.image_shape, normalize=False)
+                    # nearest label mold via the virtual-pad kernel with
+                    # pad == source shape (a plain resize)
+                    labels = native.pad_nearest_labels(
+                        mask, mask.shape[:3], cfg.image_shape, (0, 0, 0))
+                else:
+                    molded, _window, labels = mold_volume(image, cfg, mask)
+                if angle != 0.0:
+                    # rotate in the (H, W) plane: device layout is [D, H, W]
+                    molded = rotate_hw(molded.transpose(1, 2, 0), angle,
+                                       order=0).transpose(2, 0, 1)
+                    labels = rotate_hw(labels.transpose(1, 2, 0), angle,
+                                       order=0).transpose(2, 0, 1)
+                molded = normalize_intensity(molded, cfg)
         else:
             # LiTS path: rotate the raw volume, then pad+resize molding
             img = image[..., 0]
@@ -205,11 +222,12 @@ class TrainFeeder:
         norm = np.array([d, h, w, d, h, w], np.float32)
         # wire-lean batch: bf16 image when the graph computes bf16 anyway,
         # int8 labels (class count << 128) -- halves per-step upload bytes
-        if cfg.compute_dtype == "bfloat16":
-            import ml_dtypes
-            image_out = molded[None, ..., None].astype(ml_dtypes.bfloat16)
-        else:
-            image_out = molded[None, ..., None].astype(np.float32)
+        if image_out is None:
+            if cfg.compute_dtype == "bfloat16":
+                import ml_dtypes
+                image_out = molded[None, ..., None].astype(ml_dtypes.bfloat16)
+            else:
+                image_out = molded[None, ..., None].astype(np.float32)
         return TrainBatch(
             image=image_out,
             rpn_match=rpn_match,

@@ -70,6 +70,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pad_nearest_i32.argtypes = [i32p] + [ctypes.c_int] * 9 + [i32p] + \
         [ctypes.c_int] * 3
     lib.pad_nearest_i32.restype = None
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.heart_train_mold_bf16.argtypes = [f32p] + [ctypes.c_int] * 3 + \
+        [u16p, f32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
+    lib.heart_train_mold_bf16.restype = None
+    lib.heart_train_labels_i32.argtypes = [i32p] + [ctypes.c_int] * 3 + \
+        [i32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
+    lib.heart_train_labels_i32.restype = None
     _lib = lib
     return _lib
 
@@ -182,6 +189,41 @@ def pad_nearest_labels(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
     h0, w0, d0 = src.shape
     lib.pad_nearest_i32(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
                         dt, ht, wt)
+    return dst
+
+
+def heart_train_mold(src_hwd: np.ndarray, out_shape_dhw, angle_deg: float):
+    """Fused heart train molding: trilinear resize + nearest (H, W)
+    rotation + z-score, emitted bf16 [Dt, Ht, Wt], or None if the native
+    library is unavailable.  Bit-equal to the resize -> rotate_hw ->
+    normalize -> astype(bfloat16) chain."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+    src = np.ascontiguousarray(src_hwd, np.float32)
+    dt, ht, wt = out_shape_dhw
+    dst = np.empty((dt, ht, wt), np.uint16)
+    tmp = np.empty((dt, ht, wt), np.float32)
+    h0, w0, d0 = src.shape
+    lib.heart_train_mold_bf16(src, h0, w0, d0, dst, tmp, dt, ht, wt,
+                              float(angle_deg))
+    return dst.view(ml_dtypes.bfloat16)
+
+
+def heart_train_labels(mask_hwd: np.ndarray, out_shape_dhw,
+                       angle_deg: float) -> Optional[np.ndarray]:
+    """Label companion of :func:`heart_train_mold`: nearest resize + the
+    same nearest rotation -> int32 [Dt, Ht, Wt], or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(mask_hwd, np.int32)
+    dt, ht, wt = out_shape_dhw
+    dst = np.empty((dt, ht, wt), np.int32)
+    h0, w0, d0 = src.shape
+    lib.heart_train_labels_i32(src, h0, w0, d0, dst, dt, ht, wt,
+                               float(angle_deg))
     return dst
 
 

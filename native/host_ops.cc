@@ -345,6 +345,166 @@ void mold_resize_slab_q8(const float* src, int h0, int w0, int d0,
       });
 }
 
+namespace {
+
+// Rotated (H, W) index maps for the heart train mold: the reference
+// resizes, then rotates each (H, W) slice nearest with zero fill
+// (model.py:1019-1052 / data/resample.py::rotate_hw).  Because the
+// nearest rotation picks whole molded grid points, rotate(resize(x)) ==
+// sampling the source at the axis maps of the rotated *integer* molded
+// coords -- so the rotation composes into the resize gather exactly.
+// Writes ry/rx (molded ints, -1 where the rotation maps outside).
+void rotate_maps(int ht, int wt, float angle_deg, int* ry, int* rx) {
+  const double th = angle_deg * 3.14159265358979323846 / 180.0;
+  const double c = std::cos(th), s = std::sin(th);
+  const double cy = (ht - 1) / 2.0, cx = (wt - 1) / 2.0;
+  for (int y = 0; y < ht; ++y) {
+    for (int x = 0; x < wt; ++x) {
+      const double ys = c * (y - cy) - s * (x - cx) + cy;
+      const double xs = s * (y - cy) + c * (x - cx) + cx;
+      const bool inside = ys >= -0.5 && ys <= ht - 0.5 && xs >= -0.5 &&
+                          xs <= wt - 0.5;
+      const int64_t i = static_cast<int64_t>(y) * wt + x;
+      ry[i] = inside ? std::min(std::max(
+                  static_cast<int>(std::lround(ys)), 0), ht - 1) : -1;
+      rx[i] = inside ? std::min(std::max(
+                  static_cast<int>(std::lround(xs)), 0), wt - 1) : -1;
+    }
+  }
+}
+
+inline uint16_t to_bf16(float v) {
+  uint32_t bits;
+  std::memcpy(&bits, &v, 4);
+  // round-to-nearest-even, matching numpy astype(bfloat16)
+  const uint32_t rounding = 0x7FFF + ((bits >> 16) & 1);
+  return static_cast<uint16_t>((bits + rounding) >> 16);
+}
+
+}  // namespace
+
+// Fused heart train mold: trilinear resize + nearest (H, W) rotation +
+// whole-volume z-score, emitted as bf16 in device [D, H, W] layout --
+// one pass over the source plus one scale pass, replacing the feeder's
+// resize / rotate / normalize / astype chain (4 full-volume passes).
+// Rotation fill voxels are 0 *before* the z-score, matching the
+// reference order (augment, then mold_image; model.py:1555 + 1902-1904).
+void heart_train_mold_bf16(const float* src, int h0, int w0, int d0,
+                           uint16_t* dst, float* tmp, int dt, int ht,
+                           int wt, float angle_deg) {
+  std::vector<int> ry(static_cast<size_t>(ht) * wt),
+      rx(static_cast<size_t>(ht) * wt);
+  rotate_maps(ht, wt, angle_deg, ry.data(), rx.data());
+  const AxisMap zm(dt, d0), ym(ht, h0), xm(wt, w0);
+  const int64_t hs = static_cast<int64_t>(w0) * d0;
+  constexpr int XB = 128;
+  double sum = 0.0, sumsq = 0.0;
+
+#pragma omp parallel reduction(+ : sum, sumsq)
+  {
+    std::vector<float> tile(static_cast<size_t>(dt) * XB);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xo = 0; xo < xn; ++xo) {
+          const int64_t oi = static_cast<int64_t>(y) * wt + xb + xo;
+          const int my = ry[oi], mx = rx[oi];
+          float* col = tile.data() + xo;
+          if (my < 0 || mx < 0) {
+            for (int z = 0; z < dt; ++z)
+              col[static_cast<size_t>(z) * XB] = 0.0f;
+            continue;
+          }
+          const float fy = ym.f[my], fx = xm.f[mx];
+          const float* r00 = src + ym.i0[my] * hs;
+          const float* r10 = src + ym.i1[my] * hs;
+          const float* p00 = r00 + static_cast<int64_t>(xm.i0[mx]) * d0;
+          const float* p01 = r00 + static_cast<int64_t>(xm.i1[mx]) * d0;
+          const float* p10 = r10 + static_cast<int64_t>(xm.i0[mx]) * d0;
+          const float* p11 = r10 + static_cast<int64_t>(xm.i1[mx]) * d0;
+          for (int z = 0; z < dt; ++z) {
+            const int dz0 = zm.i0[z], dz1 = zm.i1[z];
+            const float fz = zm.f[z];
+            const float c00 = p00[dz0] + fz * (p00[dz1] - p00[dz0]);
+            const float c01 = p01[dz0] + fz * (p01[dz1] - p01[dz0]);
+            const float c10 = p10[dz0] + fz * (p10[dz1] - p10[dz0]);
+            const float c11 = p11[dz0] + fz * (p11[dz1] - p11[dz0]);
+            const float c0 = c00 + fx * (c01 - c00);
+            const float c1 = c10 + fx * (c11 - c10);
+            const float v = c0 + fy * (c1 - c0);
+            col[static_cast<size_t>(z) * XB] = v;
+            sum += v;
+            sumsq += static_cast<double>(v) * v;
+          }
+        }
+        for (int z = 0; z < dt; ++z)
+          std::memcpy(tmp + (static_cast<int64_t>(z) * ht + y) * wt + xb,
+                      tile.data() + static_cast<size_t>(z) * XB,
+                      static_cast<size_t>(xn) * sizeof(float));
+      }
+    }
+  }
+
+  const int64_t n = static_cast<int64_t>(dt) * ht * wt;
+  const double mean = sum / n;
+  double var = sumsq / n - mean * mean;
+  if (var < 1e-12) var = 1.0;
+  const float inv = static_cast<float>(1.0 / std::sqrt(var));
+  const float m = static_cast<float>(mean);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) dst[i] = to_bf16((tmp[i] - m) * inv);
+}
+
+// Label companion: nearest resize + the same nearest (H, W) rotation,
+// zero (background) fill, int32 [D, H, W].
+void heart_train_labels_i32(const int32_t* src, int h0, int w0, int d0,
+                            int32_t* dst, int dt, int ht, int wt,
+                            float angle_deg) {
+  std::vector<int> ry(static_cast<size_t>(ht) * wt),
+      rx(static_cast<size_t>(ht) * wt);
+  rotate_maps(ht, wt, angle_deg, ry.data(), rx.data());
+  std::vector<int> zi(dt), yi(ht), xi(wt);
+  nearest_pad_axis(dt, d0, d0, 0, zi.data());
+  nearest_pad_axis(ht, h0, h0, 0, yi.data());
+  nearest_pad_axis(wt, w0, w0, 0, xi.data());
+  const int64_t hs = static_cast<int64_t>(w0) * d0;
+  constexpr int XB = 128;
+
+#pragma omp parallel
+  {
+    std::vector<int32_t> tile(static_cast<size_t>(dt) * XB);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xo = 0; xo < xn; ++xo) {
+          const int64_t oi = static_cast<int64_t>(y) * wt + xb + xo;
+          const int my = ry[oi], mx = rx[oi];
+          int32_t* col = tile.data() + xo;
+          if (my < 0 || mx < 0) {
+            for (int z = 0; z < dt; ++z)
+              col[static_cast<size_t>(z) * XB] = 0;
+            continue;
+          }
+          const int32_t* c =
+              src + yi[my] * hs + static_cast<int64_t>(xi[mx]) * d0;
+          for (int z = 0; z < dt; ++z)
+            col[static_cast<size_t>(z) * XB] = c[zi[z]];
+        }
+        for (int z = 0; z < dt; ++z)
+          std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt + xb,
+                      tile.data() + static_cast<size_t>(z) * XB,
+                      static_cast<size_t>(xn) * sizeof(int32_t));
+      }
+    }
+  }
+}
+
 // Fused LiTS molding (LiTS_2017/model.py:1154-1233 + HU window
 // 1875-1886): inverted HU window + virtual center-pad + nearest resize,
 // emitting device [D, H, W] layout directly.  Neither the 0.9 GB pad

@@ -221,3 +221,45 @@ def test_checkpoint_partial_load(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["rpn"]["shared"]["w"]),
         np.asarray(template["rpn"]["shared"]["w"]))
+
+
+def test_fused_heart_train_mold_matches_chain():
+    """native heart_train_mold/labels must equal the literal
+    resize -> rotate_hw -> z-score -> bf16 chain (labels bit-exact; image
+    within one bf16 ULP -- the native stats accumulate in double)."""
+    import ml_dtypes
+    import numpy as np
+    import pytest
+
+    from cfun_tpu import native
+    from cfun_tpu.config import heart_config
+    from cfun_tpu.data.feeder import normalize_intensity
+    from cfun_tpu.data.resample import resize, rotate_hw
+
+    if not native.available():
+        pytest.skip("native host-ops unavailable")
+
+    cfg = heart_config("beginning").replace(image_shape=(32, 64, 64))
+    rng = np.random.default_rng(0)
+    img = rng.normal(0, 50, size=(90, 100, 60)).astype(np.float32)
+    mask = np.zeros((90, 100, 60), np.int32)
+    mask[20:70, 25:80, 10:50] = 3
+
+    d_t, h_t, w_t = cfg.image_shape
+    for angle in (0.0, 13.0, -20.0):
+        molded = resize(img, (h_t, w_t, d_t), order=1).transpose(2, 0, 1)
+        labels = np.rint(resize(mask, (h_t, w_t, d_t), order=0)
+                         ).astype(np.int32).transpose(2, 0, 1)
+        if angle != 0.0:
+            molded = rotate_hw(molded.transpose(1, 2, 0), angle,
+                               order=0).transpose(2, 0, 1)
+            labels = rotate_hw(labels.transpose(1, 2, 0), angle,
+                               order=0).transpose(2, 0, 1)
+        ref_img = normalize_intensity(molded, cfg).astype(ml_dtypes.bfloat16)
+
+        got_img = native.heart_train_mold(img, cfg.image_shape, angle)
+        got_lab = native.heart_train_labels(mask, cfg.image_shape, angle)
+        np.testing.assert_array_equal(got_lab, labels)
+        np.testing.assert_allclose(got_img.astype(np.float32),
+                                   ref_img.astype(np.float32),
+                                   rtol=2e-2, atol=2e-2)
