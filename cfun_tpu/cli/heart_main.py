@@ -180,8 +180,10 @@ def main(argv=None):
         cfg = heart_inference_config(args.stage, **overrides)
         params = cfun.init_params(jax.random.PRNGKey(0), cfg)
         if args.weights.lower() != "none":
-            params, _, _ = checkpoint.load(args.weights, params, strict=False)
-            print("Weights loaded:", args.weights)
+            # native .npz or a reference PyTorch checkpoint, auto-detected
+            params, _, meta = checkpoint.load_any(args.weights, cfg, params)
+            print(f"Weights loaded: {args.weights} "
+                  f"({meta.get('source', 'npz')})")
         if args.command == "test":
             print("Testing..." + (" (exact reference mode)" if args.exact
                                   else ""))

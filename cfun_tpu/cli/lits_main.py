@@ -203,10 +203,10 @@ def main(argv=None):
     cfg = lits_inference_config(args.stage, **overrides)
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
     if args.weights.lower() != "none":
-        # key-filtered load supports stage-to-stage transfer
-        # (LiTS_2017/model.py:1358-1371)
-        params, _, _ = checkpoint.load(args.weights, params, strict=False)
-        print("Weights loaded:", args.weights)
+        # key-filtered native load (stage transfer, LiTS_2017/model.py:
+        # 1358-1371) or a reference PyTorch checkpoint, auto-detected
+        params, _, meta = checkpoint.load_any(args.weights, cfg, params)
+        print(f"Weights loaded: {args.weights} ({meta.get('source', 'npz')})")
     if args.command == "test":
         print("Testing..." + (" (exact reference mode)" if args.exact else ""))
         with trace_ctx:

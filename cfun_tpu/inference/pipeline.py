@@ -197,8 +197,11 @@ class Detector:
         mz = inv(d0, pd, dt, od)
         my = inv(h0, ph, ht, oh)
         mx = inv(w0, pw, wt, ow)
-        return labels_molded[mz[:, None, None], my[None, :, None],
-                             mx[None, None, :]]
+        # successive axis takes instead of one broadcast fancy-index: ~10x
+        # faster for the ~100M-voxel gather (contiguous inner-axis copies)
+        out = np.take(labels_molded, mz, axis=0)
+        out = np.take(out, my, axis=1)
+        return np.take(out, mx, axis=2)
 
     def unmold(self, detections: np.ndarray, kept: np.ndarray,
                mask_data: np.ndarray, orig_shape_hwd,

@@ -50,13 +50,16 @@ def train_model(cfg: Config, train_dataset, val_dataset,
     init_state, step_fn = make_train_step(cfg, anchors)
     state = init_state(params)
     start_epoch = 0
-    if weights and weights.lower() != "none" and os.path.exists(
-            weights if weights.endswith(".npz") else weights + ".npz"):
-        params, opt_state, meta = checkpoint.load(
-            weights, state.params, state.opt_state, strict=False)
+    if weights and weights.lower() != "none" and (
+            os.path.exists(weights) or os.path.exists(weights + ".npz")):
+        # native .npz (resumes optimizer + epoch) or a reference PyTorch
+        # checkpoint (params only), auto-detected
+        params, opt_state, meta = checkpoint.load_any(
+            weights, cfg, state.params, state.opt_state)
         state = state._replace(params=params, opt_state=opt_state)
         start_epoch = int(meta.get("epoch", 0))
-        print(f"Resumed from {weights} at epoch {start_epoch}")
+        print(f"Resumed from {weights} at epoch {start_epoch} "
+              f"({meta.get('source', 'npz')})")
 
     run_dir = os.path.join(log_dir, cfg.name,
                            time.strftime("%Y-%m-%d_%H-%M-%S"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import zipfile
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
@@ -44,6 +45,50 @@ def save(path: str, params, epoch: int = 0, step: int = 0,
         json.dumps(info).encode(), dtype=np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def _is_native_npz(path: str) -> bool:
+    """npz archives contain .npy members; torch zip checkpoints contain
+    data.pkl + raw storages, and torch legacy checkpoints are bare
+    pickles (not zips at all)."""
+    try:
+        with zipfile.ZipFile(path) as z:
+            return any(n.endswith(".npy") for n in z.namelist())
+    except (zipfile.BadZipFile, IsADirectoryError, FileNotFoundError,
+            OSError):
+        return False
+
+
+def load_reference_torch(path: str, cfg) -> Any:
+    """Import a reference PyTorch checkpoint (``torch.save(state_dict)``,
+    reference model.py:1563-1570) as a cfun_tpu params tree, so trained
+    reference weights run on TPU directly."""
+    import torch
+
+    from cfun_tpu.utils import torch_convert as tc
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    sd = {k: v.detach().cpu().numpy() for k, v in obj.items()}
+    return tc.maskrcnn_from_torch(sd, cfg)
+
+
+def load_any(path: str, cfg, params_template, opt_template: Any = None,
+             strict: bool = False) -> Tuple[Any, Any, Dict]:
+    """Load a native .npz checkpoint or a reference PyTorch checkpoint,
+    auto-detected by content.  Reference checkpoints carry no optimizer
+    state or epoch metadata (the reference never saves them, SURVEY s5)."""
+    real = path
+    if not os.path.exists(real) and os.path.exists(path + ".npz"):
+        real = path + ".npz"
+    if _is_native_npz(real):
+        return load(real, params_template, opt_template, strict=strict)
+    params = load_reference_torch(real, cfg)
+    return params, opt_template, {"source": "torch", "path": real}
 
 
 _WRITER: Optional[ThreadPoolExecutor] = None

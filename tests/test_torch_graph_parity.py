@@ -329,3 +329,45 @@ def test_geometry_ops_ab_vs_reference(ref):
                                       boxes2.astype(np.float64))
     ours = np.asarray(pairwise_iou(jnp.asarray(boxes), jnp.asarray(boxes2)))
     np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5)
+
+
+def test_load_any_imports_reference_torch_checkpoint(ref, ref_p3d, tmp_path):
+    """checkpoint.load_any must auto-detect a torch.save(state_dict) file
+    (the reference's checkpoint format, model.py:1563-1570) and convert it
+    to the params tree; native .npz files still load natively."""
+    c1, c2, c3 = ref_p3d.stages()
+
+    class RefMaskRCNN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fpn = ref.model.FPN(c1, c2, c3, CFG.fpn_channels,
+                                     _RefConfig())
+            self.rpn = ref.model.RPN(1, 1, CFG.fpn_channels,
+                                     CFG.rpn_conv_channels)
+            self.classifier = ref.model.Classifier(
+                CFG.fpn_channels, list(CFG.pool_size), [64, 64, 32, 1], 2,
+                CFG.fc_size)
+            self.mask = ref.model.Mask(1, list(CFG.mask_pool_size),
+                                       CFG.num_classes,
+                                       CFG.unet_base_channels, CFG.stage)
+
+    m = RefMaskRCNN().eval()
+    _randomize(m, 9)
+    pth = str(tmp_path / "reference_model_epoch5")
+    torch.save(m.state_dict(), pth)
+
+    from cfun_tpu.utils import checkpoint
+    template = cfun.init_params(jax.random.PRNGKey(0), CFG)
+    params, _, meta = checkpoint.load_any(pth, CFG, template)
+    assert meta["source"] == "torch"
+    want = tc.maskrcnn_from_torch(_sd(m), CFG)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(want)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # native npz round-trips through the same entry point
+    npz = str(tmp_path / "native_ckpt")
+    checkpoint.save(npz, want, epoch=3)
+    params2, _, meta2 = checkpoint.load_any(npz, CFG, template)
+    assert meta2.get("epoch") == 3
