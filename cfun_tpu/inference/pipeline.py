@@ -66,6 +66,13 @@ class Detector:
         self._pipelined = (self._packed and cfg.device_normalize and
                            cfg.wire_image_dtype == "int8" and
                            cfg.pad_shape is None and native.available())
+        # LiTS slab pipeline: [0, 1] HU values quantize with a FIXED
+        # affine, so slabs stream without any stats pass
+        self._pipelined_lits = (self._packed and
+                                cfg.wire_image_dtype == "int8" and
+                                cfg.pad_shape is not None and
+                                cfg.intensity_norm == "hu_window" and
+                                native.available())
         self.last_timings: Dict[str, float] = {}
 
     def _wire_dtype(self):
@@ -73,7 +80,7 @@ class Detector:
 
     def _num_slabs(self) -> int:
         return max(1, min(self.cfg.wire_slabs, self.cfg.image_shape[0])) \
-            if self._pipelined else 1
+            if (self._pipelined or self._pipelined_lits) else 1
 
     def warmup(self):
         d, h, w = self.cfg.image_shape
@@ -118,6 +125,26 @@ class Detector:
                 slabs.append(jax.device_put(slab))
                 z += zc
             window = np.array([0, 0, 0, d, h, w], np.float32)
+        elif self._pipelined_lits:
+            src = np.ascontiguousarray(image_hwd, np.float32)
+            pd, ph, pw = cfg.pad_shape
+            h0, w0, d0 = src.shape
+            oh, ow, od = (max(0, (ph - h0) // 2), max(0, (pw - w0) // 2),
+                          max(0, (pd - d0) // 2))
+            ns = self._num_slabs()
+            zs = -(-d // ns)
+            slabs, z = [], 0
+            while z < d:
+                zc = min(zs, d - z)
+                slab = native.lits_mold_slab_q8(
+                    src, (ph, pw, pd), cfg.image_shape, (oh, ow, od), z, zc,
+                    cfg.hu_window, cfg.wire_int8_scale)
+                slabs.append(jax.device_put(slab))
+                z += zc
+            sh, sw, sd = h / ph, w / pw, d / pd
+            window = np.array([od * sd, oh * sh, ow * sw,
+                               (od + d0) * sd, (oh + h0) * sh,
+                               (ow + w0) * sw], np.float32)
         else:
             wire = None
             if cfg.pad_shape is None and native.available():

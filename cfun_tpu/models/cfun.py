@@ -308,8 +308,11 @@ def pack_fast_output(out: InferOut) -> jnp.ndarray:
     det = jax.lax.bitcast_convert_type(
         out.detections.astype(jnp.float32), jnp.int8).reshape(-1)
     val = out.det_valid.astype(jnp.int8)
-    lab = out.mask_labels.reshape(out.mask_labels.shape[0], -1)
-    packed = (lab[:, 0::2] | (lab[:, 1::2] << 4)).reshape(-1)
+    flat = out.mask_labels.reshape(-1)
+    half = flat.shape[0] // 2
+    # halves-packing: both operands are CONTIGUOUS slices (an even/odd
+    # stride-2 pack lane-misaligns on TPU and cost ~60 ms at 192^3)
+    packed = flat[:half] | (flat[half:] << 4)
     return jnp.concatenate([det, val, packed])
 
 
@@ -325,6 +328,6 @@ def unpack_fast_output(buf, num_det: int, labels_shape):
     kept = buf[num_det * 32:num_det * 33] != 0
     rest = buf[num_det * 33:].view(np.uint8)
     lab = np.empty(rest.size * 2, np.int8)
-    lab[0::2] = rest & 0x0F
-    lab[1::2] = rest >> 4
+    lab[:rest.size] = rest & 0x0F
+    lab[rest.size:] = rest >> 4
     return det, kept, lab.reshape(labels_shape)

@@ -70,6 +70,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pad_nearest_i32.argtypes = [i32p] + [ctypes.c_int] * 9 + [i32p] + \
         [ctypes.c_int] * 3
     lib.pad_nearest_i32.restype = None
+    lib.lits_mold_slab_q8.argtypes = [f32p] + [ctypes.c_int] * 9 + [i8p] + \
+        [ctypes.c_int] * 5 + [ctypes.c_float] * 3
+    lib.lits_mold_slab_q8.restype = None
     u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.heart_train_mold_bf16.argtypes = [f32p] + [ctypes.c_int] * 3 + \
         [u16p, f32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
@@ -171,6 +174,27 @@ def lits_mold(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
     mn, mx = hu_window
     lib.lits_mold_f32(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
                       dt, ht, wt, float(mn), float(mx))
+    return dst
+
+
+def lits_mold_slab_q8(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
+                      offsets_hwd, z_start: int, z_count: int, hu_window,
+                      scale: float) -> Optional[np.ndarray]:
+    """Slab of the fused LiTS mold quantized to the int8 wire (fixed
+    affine, no stats pass) -> [z_count, Ht, Wt] int8, or None.
+    ``src_hwd`` must already be C-contiguous float32."""
+    lib = _load()
+    if lib is None:
+        return None
+    dt, ht, wt = out_shape_dhw
+    ph, pw, pd = pad_shape_hwd
+    oh, ow, od = offsets_hwd
+    dst = np.empty((z_count, ht, wt), np.int8)
+    h0, w0, d0 = src_hwd.shape
+    mn, mx = hu_window
+    lib.lits_mold_slab_q8(src_hwd, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
+                          dt, ht, wt, int(z_start), int(z_count),
+                          float(mn), float(mx), float(scale))
     return dst
 
 

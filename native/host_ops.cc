@@ -522,6 +522,61 @@ void lits_mold_f32(const float* src, int h0, int w0, int d0, int ph, int pw,
                           });
 }
 
+// Slab variant of lits_mold_f32 emitting the int8 inference wire
+// directly: the [0, 1] HU-windowed values quantize with a FIXED affine
+// (x scale, e.g. 127), so no stats pass is needed and z-slabs can stream
+// to the device while later slabs resize (same overlap trick as
+// mold_resize_slab_q8).  dst is the slab buffer [z_count, ht, wt].
+void lits_mold_slab_q8(const float* src, int h0, int w0, int d0, int ph,
+                       int pw, int pd, int oh, int ow, int od, int8_t* dst,
+                       int dt, int ht, int wt, int z_start, int z_count,
+                       float mn, float mx, float scale) {
+  std::vector<int> zi(dt), yi(ht), xi(wt);
+  nearest_pad_axis(dt, pd, d0, od, zi.data());
+  nearest_pad_axis(ht, ph, h0, oh, yi.data());
+  nearest_pad_axis(wt, pw, w0, ow, xi.data());
+  const float inv = 1.0f / (mx - mn);
+  const int64_t hs = static_cast<int64_t>(w0) * d0;
+  const int z_end = std::min(z_start + z_count, dt);
+  const int zc = z_end - z_start;
+  constexpr int XB = 128;
+
+#pragma omp parallel
+  {
+    std::vector<int8_t> tile(static_cast<size_t>(zc) * XB);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      const int sy = yi[y];
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xo = 0; xo < xn; ++xo) {
+          const int sx = xi[xb + xo];
+          int8_t* col = tile.data() + xo;
+          if (sy < 0 || sx < 0) {
+            for (int z = 0; z < zc; ++z)
+              col[static_cast<size_t>(z) * XB] = 0;
+            continue;
+          }
+          const float* c = src + sy * hs + static_cast<int64_t>(sx) * d0;
+          for (int z = z_start; z < z_end; ++z) {
+            const int sz = zi[z];
+            float v = sz < 0 ? 0.0f : (c[sz] - mn) * inv;
+            v = std::min(std::max(v, 0.0f), 1.0f) * scale;
+            col[static_cast<size_t>(z - z_start) * XB] =
+                static_cast<int8_t>(v);  // trunc, matching numpy astype
+          }
+        }
+        for (int z = 0; z < zc; ++z)
+          std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt + xb,
+                      tile.data() + static_cast<size_t>(z) * XB,
+                      static_cast<size_t>(xn) * sizeof(int8_t));
+      }
+    }
+  }
+}
+
 // Label-volume variant: virtual-pad nearest resize, no intensity map.
 void pad_nearest_i32(const int32_t* src, int h0, int w0, int d0, int ph,
                      int pw, int pd, int oh, int ow, int od, int32_t* dst,

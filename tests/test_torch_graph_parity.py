@@ -371,3 +371,29 @@ def test_load_any_imports_reference_torch_checkpoint(ref, ref_p3d, tmp_path):
     checkpoint.save(npz, want, epoch=3)
     params2, _, meta2 = checkpoint.load_any(npz, CFG, template)
     assert meta2.get("epoch") == 3
+
+
+def test_eval_metrics_ab_vs_reference(ref):
+    """per_class_mask_iou / whole_mask_iou on label volumes must equal the
+    reference's stacked-binary-mask formulas (utils.py:580-617) -- the
+    numbers the test CLI reports are directly comparable."""
+    utils_ref = ref.model.utils
+    from cfun_tpu.utils.metrics import per_class_mask_iou, whole_mask_iou
+
+    rng = np.random.default_rng(5)
+    num_classes = 5
+    gt = rng.integers(0, num_classes, size=(20, 24, 16)).astype(np.int32)
+    pr = rng.integers(0, num_classes, size=(20, 24, 16)).astype(np.int32)
+
+    def stack(labels):
+        # the reference's process_mask layout [H, W, D, C-1]
+        return np.stack([(labels == c) for c in range(1, num_classes)],
+                        axis=-1).astype(np.float32)
+
+    want = utils_ref.compute_per_class_mask_iou(stack(gt), stack(pr))
+    got = per_class_mask_iou(gt, pr, num_classes)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    want_w = utils_ref.compute_mask_iou(gt.copy(), pr.copy())
+    got_w = whole_mask_iou(gt, pr)
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-6)
