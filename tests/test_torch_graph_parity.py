@@ -373,6 +373,98 @@ def test_load_any_imports_reference_torch_checkpoint(ref, ref_p3d, tmp_path):
     assert meta2.get("epoch") == 3
 
 
+class _TinyPredictConfig:
+    """Reference-config stand-in sized to tiny_config (reference
+    config.py:14-200 attribute surface used by MaskRCNN.build/predict)."""
+    NAME = "tiny"
+    GPU_COUNT = 0
+    IMAGE_SHAPE = np.array([64, 64, 32, 1])  # [H, W, D, C]
+    BACKBONE_CHANNELS = tuple(CFG.backbone_channels)
+    BACKBONE_STRIDES = list(CFG.backbone_strides)
+    TOP_DOWN_PYRAMID_SIZE = CFG.fpn_channels
+    RPN_CONV_CHANNELS = CFG.rpn_conv_channels
+    FPN_CLASSIFY_FC_LAYERS_SIZE = CFG.fc_size
+    UNET_MASK_BRANCH_CHANNEL = CFG.unet_base_channels
+    NUM_CLASSES = CFG.num_classes
+    RPN_ANCHOR_SCALES = tuple(CFG.anchor_scales)
+    RPN_ANCHOR_RATIOS = list(CFG.anchor_ratios)
+    RPN_ANCHOR_STRIDE = CFG.anchor_stride
+    RPN_NMS_THRESHOLD = CFG.rpn_nms_threshold
+    RPN_BBOX_STD_DEV = np.array(CFG.rpn_bbox_std)
+    PRE_NMS_LIMIT = CFG.pre_nms_limit
+    POST_NMS_ROIS_INFERENCE = CFG.post_nms_rois_inference
+    POOL_SIZE = list(CFG.pool_size)
+    MASK_POOL_SIZE = list(CFG.mask_pool_size)
+    DETECTION_MIN_CONFIDENCE = 0.05  # random weights score ~0.5; the
+    # reference crashes on zero survivors (model.py:662 nms_keep unbound)
+    DETECTION_NMS_THRESHOLD = CFG.detection_nms_threshold
+    DETECTION_MAX_INSTANCES = CFG.detection_max_instances
+    STAGE = CFG.stage
+    TRAIN_BN = False
+
+
+def test_whole_graph_predict_parity(ref, tmp_path):
+    """END-TO-END A/B: the reference's full ``MaskRCNN.predict(inference)``
+    (model.py:1391-1463 -- trunk, proposal_layer NMS, classifier,
+    detection_layer, raw-image mask crops, U-Net, softmax) against our
+    jit'd ``infer_forward`` on the SAME weights and the SAME input.
+
+    The one deliberate graph deviation (PARITY.md C9: z-major anchor
+    flattening) is neutralized by feeding our graph the reference's own
+    anchor array, so prediction slot i pairs with the identical anchor
+    geometry in both graphs.  Everything downstream -- proposals,
+    refined detections (count, class ids, rounded voxel boxes, scores)
+    and the per-detection mask probability stacks -- must then agree,
+    which is the strongest full-graph Dice-parity proxy available
+    without MM-WHS data."""
+    rcfg = _TinyPredictConfig()
+    # 32^3 mask crops: the smallest size whose U-Net bottleneck keeps >1
+    # spatial element (torch InstanceNorm3d rejects 1^3, see
+    # test_unet_forward_parity)
+    rcfg.MASK_POOL_SIZE = [32, 32, 32]
+    m = ref.model.MaskRCNN(rcfg, str(tmp_path), test_flag=True).eval()
+    _randomize(m, 4)
+    with torch.no_grad():
+        # amplify the classifier so roi scores spread well apart (raw
+        # 0.1*randn weights give near-uniform ~0.509 background scores for
+        # every roi -- zero detections crashes the reference, model.py:662);
+        # seed 4 + 4x yields a mixed 3-of-8 foreground split
+        for p in m.classifier.parameters():
+            p.mul_(4.0)
+
+    d, h, w = CFG.image_shape
+    x = torch.randn(1, 1, d, h, w,
+                    generator=torch.Generator().manual_seed(12))
+    meta = np.array([[0, 1, d, h, w, 0, 0, 0, d, h, w] +
+                     [0] * CFG.num_classes], np.float32)
+    with torch.no_grad():
+        det_t, mask_t = m.predict([x, torch.from_numpy(meta)], "inference")
+    det_t = det_t[0].numpy()          # [N, 8] voxel boxes + class + score
+    mask_t = mask_t[0].numpy()        # [N, C, md, mh, mw] softmax probs
+
+    params = jax.tree.map(jnp.asarray, tc.maskrcnn_from_torch(_sd(m), CFG))
+    cfg = CFG.replace(approx_topk=False, detection_min_confidence=0.05,
+                      mask_pool_size=(32, 32, 32),
+                      mask_shape_override=(32, 32, 32))
+    out = cfun.infer_forward(
+        params, _to_jax(x), jnp.asarray(m.anchors.numpy()),
+        jnp.asarray([0, 0, 0, d, h, w], jnp.float32), cfg=cfg)
+    kept = np.asarray(out.det_valid)
+    det_j = np.asarray(out.detections)[kept]
+    mask_j = np.asarray(out.mask_probs,
+                        np.float32)[kept].transpose(0, 4, 1, 2, 3)
+
+    assert det_j.shape[0] == det_t.shape[0], \
+        f"detection count {det_j.shape[0]} vs reference {det_t.shape[0]}"
+    np.testing.assert_array_equal(det_j[:, 6], det_t[:, 6])  # class ids
+    np.testing.assert_allclose(det_j[:, :6], det_t[:, :6], atol=1.01)
+    np.testing.assert_allclose(det_j[:, 7], det_t[:, 7], atol=2e-3)
+    # box agreement is exact in practice (both round the same f32 values);
+    # tolerate at most one 1-voxel rounding flip overall
+    assert (det_j[:, :6] != det_t[:, :6]).sum() <= 1
+    np.testing.assert_allclose(mask_j, mask_t, atol=5e-3)
+
+
 def test_eval_metrics_ab_vs_reference(ref):
     """per_class_mask_iou / whole_mask_iou on label volumes must equal the
     reference's stacked-binary-mask formulas (utils.py:580-617) -- the
