@@ -403,7 +403,8 @@ class _TinyPredictConfig:
     TRAIN_BN = False
 
 
-def test_whole_graph_predict_parity(ref, tmp_path):
+@pytest.mark.parametrize("stage", ["beginning", "finetune"])
+def test_whole_graph_predict_parity(ref, tmp_path, stage):
     """END-TO-END A/B: the reference's full ``MaskRCNN.predict(inference)``
     (model.py:1391-1463 -- trunk, proposal_layer NMS, classifier,
     detection_layer, raw-image mask crops, U-Net, softmax) against our
@@ -420,8 +421,10 @@ def test_whole_graph_predict_parity(ref, tmp_path):
     rcfg = _TinyPredictConfig()
     # 32^3 mask crops: the smallest size whose U-Net bottleneck keeps >1
     # spatial element (torch InstanceNorm3d rejects 1^3, see
-    # test_unet_forward_parity)
+    # test_unet_forward_parity).  'finetune' also exercises the U-Net 2x
+    # upscale head end-to-end (mask_branch.py:216-218)
     rcfg.MASK_POOL_SIZE = [32, 32, 32]
+    rcfg.STAGE = stage
     m = ref.model.MaskRCNN(rcfg, str(tmp_path), test_flag=True).eval()
     _randomize(m, 4)
     with torch.no_grad():
@@ -442,10 +445,12 @@ def test_whole_graph_predict_parity(ref, tmp_path):
     det_t = det_t[0].numpy()          # [N, 8] voxel boxes + class + score
     mask_t = mask_t[0].numpy()        # [N, C, md, mh, mw] softmax probs
 
-    params = jax.tree.map(jnp.asarray, tc.maskrcnn_from_torch(_sd(m), CFG))
-    cfg = CFG.replace(approx_topk=False, detection_min_confidence=0.05,
-                      mask_pool_size=(32, 32, 32),
-                      mask_shape_override=(32, 32, 32))
+    cfg = tiny_config(stage=stage).replace(
+        approx_topk=False, detection_min_confidence=0.05,
+        mask_pool_size=(32, 32, 32),
+        mask_shape_override=(32, 32, 32) if stage != "finetune"
+        else (64, 64, 64))
+    params = jax.tree.map(jnp.asarray, tc.maskrcnn_from_torch(_sd(m), cfg))
     out = cfun.infer_forward(
         params, _to_jax(x), jnp.asarray(m.anchors.numpy()),
         jnp.asarray([0, 0, 0, d, h, w], jnp.float32), cfg=cfg)
