@@ -110,15 +110,25 @@ def run_submit(cfg, params, data_dir: str, limit: int,
     with open(os.path.join(data_dir, "dataset.json")) as f:
         info = list(json.load(f)["train_and_test"])
     os.makedirs(results_dir, exist_ok=True)
-    for item in info[:limit]:
-        image, affine = nifti.load(_resolve(data_dir, item["image"]))
-        t0 = time.time()
-        result = detector.detect(image.astype(np.float32))
+    items = info[:limit]
+    affines = []
+
+    def volumes():
+        for item in items:
+            image, affine = nifti.load(_resolve(data_dir, item["image"]))
+            affines.append(affine)
+            yield image.astype(np.float32)
+
+    # double-buffered: volume N+1 loads + molds while N runs on device
+    t0 = time.time()
+    for item, result in zip(items, detector.detect_stream(volumes())):
         name = os.path.basename(item["image"])
-        print(f"{name} predicted in {time.time() - t0:.3f}s")
+        print(f"{name} predicted ({time.time() - t0:.3f}s elapsed)")
         nifti.save(os.path.join(results_dir, name),
-                   result["mask"].astype(np.int32), affine)
-    print("prediction completed")
+                   result["mask"].astype(np.int32), affines.pop(0))
+    total = time.time() - t0
+    print(f"prediction completed: {len(items)} volumes in {total:.3f}s "
+          f"({total / max(len(items), 1):.3f}s/volume sustained)")
 
 
 def main(argv=None):

@@ -120,25 +120,34 @@ def run_submit(cfg, params, data_dir: str, start: int = 0,
 
     detector = Detector(cfg, params)
     os.makedirs(results_dir, exist_ok=True)
-    for i in range(start, 70):
-        img_path = os.path.join(data_dir, "image_test_np", f"liver_{i}.npy")
-        if not os.path.exists(img_path):
-            continue
-        image = np.load(img_path).astype(np.float32)
-        raw_path = os.path.join(data_dir, "imagesTs",
-                                f"test-volume-{i}.nii.gz")
-        if os.path.exists(raw_path):
-            raw, affine = nifti.load(raw_path)
-            ori_shape = raw.shape[:3]
-        else:
-            affine, ori_shape = np.eye(4), image.shape
-        t0 = time.time()
-        result = detector.detect(image)
-        print(f"processing {i} detect_time: {time.time() - t0:.3f}")
+    present = [i for i in range(start, 70) if os.path.exists(
+        os.path.join(data_dir, "image_test_np", f"liver_{i}.npy"))]
+    geoms = []
+
+    def volumes():
+        for i in present:
+            image = np.load(os.path.join(data_dir, "image_test_np",
+                                         f"liver_{i}.npy")).astype(np.float32)
+            raw_path = os.path.join(data_dir, "imagesTs",
+                                    f"test-volume-{i}.nii.gz")
+            if os.path.exists(raw_path):
+                raw, affine = nifti.load(raw_path)
+                geoms.append((affine, raw.shape[:3]))
+            else:
+                geoms.append((np.eye(4), image.shape))
+            yield image
+
+    # double-buffered: volume N+1 loads + molds while N runs on device
+    t0 = time.time()
+    for i, result in zip(present, detector.detect_stream(volumes())):
+        print(f"processing {i} ({time.time() - t0:.3f}s elapsed)")
+        affine, ori_shape = geoms.pop(0)
         mask = resize(result["mask"], tuple(ori_shape), order=0)
         nifti.save(os.path.join(results_dir, f"test-segmentation-{i}.nii"),
                    mask.astype(np.uint8), affine)
-    print("prediction completed")
+    total = time.time() - t0
+    print(f"prediction completed: {len(present)} volumes in {total:.3f}s "
+          f"({total / max(len(present), 1):.3f}s/volume sustained)")
 
 
 def main(argv=None):

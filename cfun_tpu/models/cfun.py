@@ -298,25 +298,30 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
     return InferOut(detections, kept, mask_probs.astype(jnp.float16), None)
 
 
-def pack_fast_output(out: InferOut) -> jnp.ndarray:
+def pack_fast_output(out: InferOut, bits: int = 4) -> jnp.ndarray:
     """Pack the fast-path outputs into ONE int8 wire array so a single D2H
     fetch (one tunnel RPC) carries everything: detections bitcast to bytes,
-    the validity mask, and the label volume packed two 4-bit labels per
-    byte (requires num_classes <= 16; both variants are 8 and 3).  The
-    label volume dominates D2H bytes on link-bound hosts -- 4-bit packing
-    halves it."""
+    the validity mask, and the label volume packed 2 labels/byte at 4 bits
+    (num_classes <= 16, heart's 8) or 4 labels/byte at 2 bits
+    (num_classes <= 4, LiTS' 3).  The label volume dominates D2H bytes on
+    link-bound hosts."""
     det = jax.lax.bitcast_convert_type(
         out.detections.astype(jnp.float32), jnp.int8).reshape(-1)
     val = out.det_valid.astype(jnp.int8)
     flat = out.mask_labels.reshape(-1)
-    half = flat.shape[0] // 2
-    # halves-packing: both operands are CONTIGUOUS slices (an even/odd
-    # stride-2 pack lane-misaligns on TPU and cost ~60 ms at 192^3)
-    packed = flat[:half] | (flat[half:] << 4)
+    # contiguous-slice packing: an even/odd stride-2 pack lane-misaligns
+    # on TPU and cost ~60 ms at 192^3
+    if bits == 2:
+        q = flat.shape[0] // 4
+        packed = (flat[:q] | (flat[q:2 * q] << 2) | (flat[2 * q:3 * q] << 4)
+                  | (flat[3 * q:] << 6))
+    else:
+        half = flat.shape[0] // 2
+        packed = flat[:half] | (flat[half:] << 4)
     return jnp.concatenate([det, val, packed])
 
 
-def unpack_fast_output(buf, num_det: int, labels_shape):
+def unpack_fast_output(buf, num_det: int, labels_shape, bits: int = 4):
     """Host-side inverse of :func:`pack_fast_output` (NumPy).
 
     Returns (detections [N, 8] f32, kept [N] bool, labels int8 reshaped to
@@ -327,7 +332,15 @@ def unpack_fast_output(buf, num_det: int, labels_shape):
     det = buf[:num_det * 32].view(np.float32).reshape(num_det, 8)
     kept = buf[num_det * 32:num_det * 33] != 0
     rest = buf[num_det * 33:].view(np.uint8)
-    lab = np.empty(rest.size * 2, np.int8)
-    lab[:rest.size] = rest & 0x0F
-    lab[rest.size:] = rest >> 4
+    if bits == 2:
+        lab = np.empty(rest.size * 4, np.int8)
+        n = rest.size
+        lab[:n] = rest & 0x03
+        lab[n:2 * n] = (rest >> 2) & 0x03
+        lab[2 * n:3 * n] = (rest >> 4) & 0x03
+        lab[3 * n:] = rest >> 6
+    else:
+        lab = np.empty(rest.size * 2, np.int8)
+        lab[:rest.size] = rest & 0x0F
+        lab[rest.size:] = rest >> 4
     return det, kept, lab.reshape(labels_shape)

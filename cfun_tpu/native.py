@@ -73,6 +73,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.lits_mold_slab_q8.argtypes = [f32p] + [ctypes.c_int] * 9 + [i8p] + \
         [ctypes.c_int] * 5 + [ctypes.c_float] * 3
     lib.lits_mold_slab_q8.restype = None
+    lib.unmold_nearest_i16.argtypes = [i8p] + [ctypes.c_int] * 3 + \
+        [i32p, i32p, i32p, i16p] + [ctypes.c_int] * 3
+    lib.unmold_nearest_i16.restype = None
     u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.heart_train_mold_bf16.argtypes = [f32p] + [ctypes.c_int] * 3 + \
         [u16p, f32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
@@ -196,6 +199,26 @@ def lits_mold_slab_q8(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
                           dt, ht, wt, int(z_start), int(z_count),
                           float(mn), float(mx), float(scale))
     return dst
+
+
+def unmold_nearest_labels(lab_dhw: np.ndarray, mz: np.ndarray,
+                          my: np.ndarray, mx: np.ndarray
+                          ) -> Optional[np.ndarray]:
+    """Invert the nearest molding of an int8 [Dm, Hm, Wm] label volume:
+    out[y, x, z] = lab[mz[z], my[y], mx[x]] as int16 in [H0, W0, D0] host
+    layout (one pass; no intermediate transpose), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    lab = np.ascontiguousarray(lab_dhw, np.int8)
+    mz = np.ascontiguousarray(mz, np.int32)
+    my = np.ascontiguousarray(my, np.int32)
+    mx = np.ascontiguousarray(mx, np.int32)
+    dm, hm, wm = lab.shape
+    out = np.empty((my.size, mx.size, mz.size), np.int16)
+    lib.unmold_nearest_i16(lab, dm, hm, wm, mz, my, mx, out,
+                           my.size, mx.size, mz.size)
+    return out
 
 
 def pad_nearest_labels(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,

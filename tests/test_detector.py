@@ -115,3 +115,50 @@ def test_detector_lits_overlap_fast_path_close_to_exact():
     assert r_fast["mask"].shape == r_exact["mask"].shape
     agree = (r_fast["mask"] == r_exact["mask"]).mean()
     assert agree > 0.95, f"lits fast/exact agreement only {agree:.3f}"
+
+
+def test_detect_stream_matches_serial():
+    """Double-buffered detect_stream must return exactly the serial
+    detect() results, in order, for a mixed-shape volume batch."""
+    cfg = tiny_config(stage="beginning").replace(
+        detection_max_instances=2, wire_image_dtype="int8",
+        fast_unmold=True, device_normalize=True, wire_slabs=2)
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    det = Detector(cfg, params)
+
+    rng = np.random.default_rng(7)
+    vols = []
+    for i, shape in enumerate([(60, 70, 30), (80, 96, 40), (64, 64, 32)]):
+        v = rng.normal(size=shape).astype(np.float32)
+        v[10:40, 10:40, 5:25] += 2.0 + i
+        vols.append(v)
+
+    serial = [det.detect(v) for v in vols]
+    streamed = list(det.detect_stream(vols))
+    assert len(streamed) == len(serial)
+    for s, r in zip(streamed, serial):
+        np.testing.assert_array_equal(s["mask"], r["mask"])
+        np.testing.assert_array_equal(s["rois"], r["rois"])
+        np.testing.assert_allclose(s["scores"], r["scores"], rtol=1e-6)
+
+
+def test_pack_unpack_roundtrip_2bit():
+    """2-bit packing (num_classes <= 4, the LiTS case) round-trips
+    bit-exactly at 4 labels/byte."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    det = rng.normal(size=(2, 8)).astype(np.float32)
+    valid = np.array([True, True])
+    labels = rng.integers(0, 3, size=(8, 6, 4)).astype(np.int8)
+
+    from cfun_tpu.models.cfun import (InferOut, pack_fast_output,
+                                      unpack_fast_output)
+    out = InferOut(jnp.asarray(det), jnp.asarray(valid), None,
+                   jnp.asarray(labels))
+    buf = np.asarray(pack_fast_output(out, bits=2))
+    assert buf.size == 2 * 32 + 2 + labels.size // 4
+    det2, valid2, labels2 = unpack_fast_output(buf, 2, (8, 6, 4), bits=2)
+    np.testing.assert_array_equal(det, det2)
+    np.testing.assert_array_equal(valid, valid2)
+    np.testing.assert_array_equal(labels, labels2)
