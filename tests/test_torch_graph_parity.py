@@ -56,6 +56,17 @@ def ref():
             mod.__version__ = "0.0.0"
             sys.modules[name] = mod
     sys.modules["skimage"].transform = sys.modules["skimage.transform"]
+
+    def _resize(image, output_shape, order=1, mode="constant", cval=0,
+                clip=True, preserve_range=True, **kw):
+        # functional skimage.transform.resize stand-in (half-pixel, AA off)
+        # so the reference's utils.resize-based paths (GT mask crops,
+        # model.py:481-493) actually run; our resample.resize implements
+        # the identical convention (scipy-oracle-tested)
+        from cfun_tpu.data.resample import resize as _r
+        return _r(np.asarray(image), tuple(output_shape), order=order)
+
+    sys.modules["skimage.transform"].resize = _resize
     sys.path.insert(0, REFERENCE)
     torch.Tensor.cuda = lambda self, *a, **k: self
     try:
@@ -468,6 +479,129 @@ def test_whole_graph_predict_parity(ref, tmp_path, stage):
     # tolerate at most one 1-voxel rounding flip overall
     assert (det_j[:, :6] != det_t[:, :6]).sum() <= 1
     np.testing.assert_allclose(mask_j, mask_t, atol=5e-3)
+
+
+def test_rpn_target_assigner_ab_vs_reference(ref):
+    """build_rpn_targets A/B (reference model.py:1090-1181) on the
+    reference's own anchors, subsampling disabled so both sides are
+    deterministic: identical match vectors, and our dense per-anchor
+    deltas equal the reference's packed rows at the positive indices."""
+    utils_ref = ref.model.utils
+    d, h, w = CFG.image_shape
+    anchors = utils_ref.generate_pyramid_anchors(
+        CFG.anchor_scales, list(CFG.anchor_ratios),
+        [[d // s, h // s, w // s] for s in CFG.backbone_strides],
+        list(CFG.backbone_strides), CFG.anchor_stride).astype(np.float32)
+    gt = np.array([6.0, 18.0, 20.0, 26.0, 50.0, 52.0], np.float32)
+
+    class _RC:
+        RPN_TRAIN_ANCHORS_PER_IMAGE = 10_000  # > anchor count: no subsample
+        RPN_BBOX_STD_DEV = np.array(CFG.rpn_bbox_std)
+
+    # the reference tiles the one organ box x(C-1) (model.py:1076) --
+    # identical columns, so the per-anchor argmax resolves to column 0
+    match_ref, bbox_ref = ref.model.build_rpn_targets(
+        anchors, np.repeat(gt[None], CFG.num_classes - 1, 0), _RC())
+
+    from cfun_tpu.train.targets import build_rpn_targets
+    cfg = CFG.replace(rpn_train_anchors_per_image=10_000)
+    match, deltas = build_rpn_targets(anchors, gt, cfg,
+                                      np.random.default_rng(0))
+    np.testing.assert_array_equal(match, match_ref)
+    pos = np.flatnonzero(match_ref == 1)
+    assert pos.size > 0
+    np.testing.assert_allclose(deltas[pos], bbox_ref[:pos.size],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_detection_target_layer_ab_vs_reference(ref):
+    """detection_target_layer A/B (reference model.py:414-563), sized so
+    the sampling is deterministic on both sides (positive capacity ==
+    positive count; negative pool smaller than the 1:2 quota, so both keep
+    everything -- ROI_POSITIVE_RATIO=1.0 would be simpler but trips a
+    reference bug: `masks` is unbound when negative_count == 0,
+    model.py:540-543): same ROI sets, class ids, normalized deltas, and
+    bit-identical GT mask crops (our on-device one_hot_crop vs the
+    reference's int-truncate + skimage order=0 crop-resize of the
+    8-channel stack)."""
+    rng = np.random.default_rng(9)
+    d, h, w = CFG.image_shape
+    labels = np.zeros((d, h, w), np.int32)
+    labels[8:24, 16:48, 20:52] = 1
+    labels[12:20, 24:40, 28:44] = 2
+    labels[14:18, 28:34, 30:38] = 3
+    gt_box = np.array([8, 16, 20, 24, 48, 52], np.float32)
+    gt_norm = gt_box / np.array([d, h, w, d, h, w], np.float32)
+
+    # 5 positives (>=0.5 IoU with the organ box) + 3 negatives, on integer
+    # voxel corners
+    proposals = np.array([
+        [8, 16, 20, 24, 48, 52],
+        [7, 14, 18, 23, 46, 50],
+        [9, 18, 22, 25, 50, 54],
+        [8, 20, 24, 24, 44, 48],
+        [10, 16, 20, 26, 48, 52],
+        [0, 0, 0, 6, 12, 12],
+        [24, 50, 52, 30, 62, 62],
+        [0, 40, 40, 8, 60, 60],
+    ], np.float32) / np.array([d, h, w, d, h, w], np.float32)
+
+    class _RC:
+        GPU_COUNT = 0
+        DETECTION_TARGET_IOU_THRESHOLD = CFG.detection_target_iou
+        TRAIN_ROIS_PER_IMAGE = 18  # cap int(18 * 0.33) = 5 = all positives
+        ROI_POSITIVE_RATIO = 0.33  # negative quota 10 > the 3 available
+        BBOX_STD_DEV = np.array(CFG.bbox_std)
+        MASK_SHAPE = tuple(CFG.mask_shape)
+
+    onehot8 = np.zeros((8, d, h, w), np.int32)  # the layer hardcodes 8
+    for c in range(CFG.num_classes):
+        onehot8[c][labels == c] = 1
+    p_rois_t, rois_t, ids_t, deltas_t, masks_t = \
+        ref.model.detection_target_layer(
+            torch.from_numpy(proposals[None]),
+            torch.from_numpy(np.arange(1, CFG.num_classes)[None]),
+            torch.from_numpy(np.repeat(gt_norm[None],
+                                       CFG.num_classes - 1, 0)[None]),
+            torch.from_numpy(onehot8[None]), _RC())
+
+    from cfun_tpu.train.targets import detection_targets
+    cfg = CFG.replace(roi_positive_ratio=0.33, train_rois_per_image=18)
+    padded = np.zeros((32, 6), np.float32)  # capacity >= ROI caps, like
+    padded[:8] = proposals                  # the real post-NMS proposal set
+    valid = np.zeros(32, bool)
+    valid[:8] = True
+    out = detection_targets(jax.random.PRNGKey(3), jnp.asarray(padded),
+                            jnp.asarray(valid), jnp.asarray(gt_norm),
+                            jnp.asarray(labels), cfg)
+    pos_ok = np.asarray(out.pos_valid)
+    pos_j = np.asarray(out.pos_rois)[pos_ok]
+    deltas_j = np.asarray(out.deltas)[:pos_ok.size][pos_ok]
+    masks_j = np.asarray(out.masks)[pos_ok]
+
+    pos_t = p_rois_t.numpy()
+    assert pos_j.shape[0] == pos_t.shape[0] == 5
+    # both sides shuffle order; align by sorting rows
+    oj = np.lexsort(pos_j.T[::-1])
+    ot = np.lexsort(pos_t.T[::-1])
+    np.testing.assert_allclose(pos_j[oj], pos_t[ot], atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(out.class_ids)[:pos_ok.size][pos_ok], 1)
+    np.testing.assert_array_equal(ids_t.numpy()[:5], 1)
+    np.testing.assert_allclose(deltas_j[oj], deltas_t.numpy()[ot],
+                               rtol=1e-4, atol=1e-5)
+    # negative set (both keep all 3: quota 10 > pool)
+    neg_j = np.asarray(out.rois)[5:][np.asarray(out.roi_valid)[5:]]
+    neg_t = rois_t.numpy()[5:]
+    assert neg_j.shape == neg_t.shape == (3, 6)
+    np.testing.assert_allclose(
+        neg_j[np.lexsort(neg_j.T[::-1])],
+        neg_t[np.lexsort(neg_t.T[::-1])], atol=1e-6)
+    # GT mask crops: reference ships the 8-channel one-hot stack; ours
+    # argmax-equivalent one-hot crop -- compare label crops exactly
+    lab_t = np.argmax(masks_t.numpy()[ot], axis=1)
+    lab_j = np.argmax(masks_j[oj], axis=-1)
+    np.testing.assert_array_equal(lab_j, lab_t)
 
 
 def test_eval_metrics_ab_vs_reference(ref):
