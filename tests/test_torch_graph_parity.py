@@ -604,6 +604,83 @@ def test_detection_target_layer_ab_vs_reference(ref):
     np.testing.assert_array_equal(lab_j, lab_t)
 
 
+def test_heart_losses_ab_vs_reference(ref):
+    """Direct A/B of the four exactly-matching heart losses against the
+    reference's own compute_* functions (model.py:808-935) on shared
+    random data.  (The heart edge loss deliberately deviates -- the
+    reference's gradient magnitude typo duplicates the x-component,
+    model.py:959-962 -- documented in PARITY.md C21 and pinned by the
+    torch-oracle test instead.)"""
+    from cfun_tpu.train import losses as L
+
+    rng = np.random.default_rng(11)
+    a = 64
+    match = rng.choice(np.array([-1, 0, 1], np.int8), size=a,
+                       p=[0.4, 0.4, 0.2])
+    rpn_logits = rng.normal(size=(a, 2)).astype(np.float32)
+    rpn_pred = rng.normal(size=(a, 6)).astype(np.float32)
+    dense_tgt = rng.normal(size=(a, 6)).astype(np.float32)
+    dense_tgt[match != 1] = 0.0
+    pos = np.flatnonzero(match == 1)
+    packed_tgt = np.zeros((a, 6), np.float32)
+    packed_tgt[:pos.size] = dense_tgt[pos]
+
+    want = ref.model.compute_rpn_class_loss(
+        torch.from_numpy(match.astype(np.int32)[None, :, None]),
+        torch.from_numpy(rpn_logits[None])).item()
+    got = float(L.rpn_class_loss(jnp.asarray(match), jnp.asarray(rpn_logits)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    want = ref.model.compute_rpn_bbox_loss(
+        torch.from_numpy(packed_tgt[None]),
+        torch.from_numpy(match.astype(np.int32)[None, :, None]),
+        torch.from_numpy(rpn_pred[None])).item()
+    got = float(L.rpn_bbox_loss(jnp.asarray(match), jnp.asarray(dense_tgt),
+                                jnp.asarray(rpn_pred)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    r = 12
+    class_ids = rng.integers(0, 2, size=r).astype(np.int32)
+    cls_logits = rng.normal(size=(r, 2)).astype(np.float32)
+    bbox_pred = rng.normal(size=(r, 2, 6)).astype(np.float32)
+    bbox_tgt = rng.normal(size=(r, 6)).astype(np.float32)
+    bbox_tgt[class_ids == 0] = 0.0
+
+    want = ref.model.compute_mrcnn_class_loss(
+        torch.from_numpy(class_ids.astype(np.int64)),
+        torch.from_numpy(cls_logits)).item()
+    got = float(L.mrcnn_class_loss(jnp.asarray(class_ids),
+                                   jnp.ones(r, bool),
+                                   jnp.asarray(cls_logits)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    want = ref.model.compute_mrcnn_bbox_loss(
+        torch.from_numpy(bbox_tgt),
+        torch.from_numpy(class_ids.astype(np.int64)),
+        torch.from_numpy(bbox_pred)).item()
+    got = float(L.mrcnn_bbox_loss(jnp.asarray(bbox_tgt),
+                                  jnp.asarray(class_ids),
+                                  jnp.ones(r, bool),
+                                  jnp.asarray(bbox_pred)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # heart mask loss (unweighted CE of argmax'd one-hot stack)
+    p, md, c = 3, 6, CFG.num_classes
+    lab = rng.integers(0, c, size=(p, md, md, md))
+    onehot = np.eye(c, dtype=np.float32)[lab]
+    logits = rng.normal(size=(p, md, md, md, c)).astype(np.float32)
+    onehot8 = np.concatenate(
+        [onehot.transpose(0, 4, 1, 2, 3),
+         np.zeros((p, 8 - c, md, md, md), np.float32)], axis=1)
+    want = ref.model.compute_mrcnn_mask_loss(
+        torch.from_numpy(onehot8), torch.from_numpy(np.ones(p, np.int64)),
+        torch.from_numpy(logits.transpose(0, 4, 1, 2, 3))).item()
+    got = float(L.mask_loss(jnp.asarray(onehot), jnp.ones(p, bool),
+                            jnp.asarray(logits),
+                            CFG.replace(mask_class_weights=None)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_eval_metrics_ab_vs_reference(ref):
     """per_class_mask_iou / whole_mask_iou on label volumes must equal the
     reference's stacked-binary-mask formulas (utils.py:580-617) -- the
