@@ -221,19 +221,25 @@ class TrainFeeder:
         d, h, w = cfg.image_shape
         norm = np.array([d, h, w, d, h, w], np.float32)
         # wire-lean batch: bf16 image when the graph computes bf16 anyway,
-        # int8 labels (class count << 128) -- halves per-step upload bytes
+        # two 4-bit labels per byte along W (class count <= 16 in both
+        # variants) -- quarters the label upload vs int32
         if image_out is None:
             if cfg.compute_dtype == "bfloat16":
                 import ml_dtypes
                 image_out = molded[None, ..., None].astype(ml_dtypes.bfloat16)
             else:
                 image_out = molded[None, ..., None].astype(np.float32)
+        if cfg.num_classes <= 16 and w % 2 == 0:
+            from cfun_tpu.train.step import pack_labels_w
+            labels_out = pack_labels_w(labels)
+        else:
+            labels_out = labels.astype(np.int8)
         return TrainBatch(
             image=image_out,
             rpn_match=rpn_match,
             rpn_deltas=rpn_deltas,
             gt_box_norm=(gt_box / norm).astype(np.float32),
-            labels=labels.astype(np.int8),
+            labels=labels_out,
         )
 
     def epoch(self, angle: float, steps: int) -> Iterator[TrainBatch]:

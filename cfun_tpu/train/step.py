@@ -39,7 +39,27 @@ class TrainBatch(NamedTuple):
     rpn_match: jnp.ndarray   # [A] int8 in {-1, 0, 1}
     rpn_deltas: jnp.ndarray  # [A, 6] float32 (dense per-anchor targets)
     gt_box_norm: jnp.ndarray  # [6] normalized whole-organ box
-    labels: jnp.ndarray      # [D, H, W] int32 class labels
+    # [D, H, W] int class labels, or [D, H, W/2] uint8 with two 4-bit
+    # labels per byte along W (pack_labels_w) -- halves the per-step
+    # label upload on link-bound hosts; unpacked on device by shape
+    labels: jnp.ndarray
+
+
+def pack_labels_w(labels: "np.ndarray"):
+    """Host-side: [.., W] int labels (< 16) -> [.., W/2] uint8, low nibble
+    = left half of W, high nibble = right half (contiguous-slice packing,
+    TPU-lane-friendly to invert)."""
+    import numpy as np
+
+    half = labels.shape[-1] // 2
+    l8 = labels.astype(np.uint8)
+    return l8[..., :half] | (l8[..., half:] << 4)
+
+
+def unpack_labels_w(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of :func:`pack_labels_w` -> int32 [.., W]."""
+    u = packed.astype(jnp.uint8)
+    return jnp.concatenate([u & 0xF, u >> 4], axis=-1).astype(jnp.int32)
 
 
 class TrainState(NamedTuple):
@@ -111,8 +131,11 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
                                anchors, cfg, cfg.post_nms_rois_training)
     proposals = jax.lax.stop_gradient(proposals)
 
+    labels = batch.labels
+    if labels.shape[-1] == cfg.image_shape[2] // 2:
+        labels = unpack_labels_w(labels)
     tgt = detection_targets(k_tgt, proposals, valid, batch.gt_box_norm,
-                            batch.labels, cfg)
+                            labels, cfg)
 
     zero = jnp.zeros((), jnp.float32)
     out = {

@@ -150,3 +150,29 @@ def test_losses_masked_means():
     # flipping the positive row's prediction raises the loss
     bad = jnp.asarray([[10.0, -10.0], [0.0, 0.0], [10.0, -10.0]])
     assert float(L.rpn_class_loss(match, bad)) > 1.0
+
+
+def test_packed_labels_equivalent():
+    """4-bit W-packed labels (pack_labels_w) produce the identical losses
+    as the unpacked int batch -- the device unpack is lossless and
+    shape-dispatched."""
+    from cfun_tpu.train.step import pack_labels_w, unpack_labels_w
+
+    cfg = tiny_config()
+    anchors = jnp.asarray(config_anchors(cfg))
+    batch = _make_batch(cfg)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_labels_w(jnp.asarray(
+            pack_labels_w(np.asarray(batch.labels))))),
+        np.asarray(batch.labels))
+
+    packed = batch._replace(
+        labels=jnp.asarray(pack_labels_w(np.asarray(batch.labels))))
+    key = jax.random.PRNGKey(4)
+    t1, m1 = train_forward(cfg=cfg, params=cfun.init_params(
+        jax.random.PRNGKey(0), cfg), batch=batch, anchors=anchors, key=key)
+    t2, m2 = train_forward(cfg=cfg, params=cfun.init_params(
+        jax.random.PRNGKey(0), cfg), batch=packed, anchors=anchors, key=key)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6)
