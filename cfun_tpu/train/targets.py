@@ -92,10 +92,17 @@ class DetectionTargets(NamedTuple):
 
 
 def _masked_random_topk(key, candidate: jnp.ndarray, k: int):
-    """Uniformly sample up to k True positions; returns (idx [k], ok [k])."""
+    """Uniformly sample up to k True positions; returns (idx [k], ok [k]).
+    k may exceed the candidate count (configs with ROI capacity above the
+    proposal count); the tail pads invalid."""
+    keff = min(k, candidate.shape[0])
     score = jnp.where(candidate, jax.random.uniform(key, candidate.shape), -1.0)
-    top, idx = jax.lax.top_k(score, k)
-    return idx, top >= 0.0
+    top, idx = jax.lax.top_k(score, keff)
+    ok = top >= 0.0
+    if keff < k:
+        idx = jnp.concatenate([idx, jnp.zeros(k - keff, idx.dtype)])
+        ok = jnp.concatenate([ok, jnp.zeros(k - keff, bool)])
+    return idx, ok
 
 
 def detection_targets(key, proposals: jnp.ndarray, proposal_valid: jnp.ndarray,

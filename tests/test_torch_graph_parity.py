@@ -604,6 +604,123 @@ def test_detection_target_layer_ab_vs_reference(ref):
     np.testing.assert_array_equal(lab_j, lab_t)
 
 
+def test_whole_train_graph_losses_parity(ref, tmp_path):
+    """END-TO-END TRAINING A/B: the reference's full
+    ``MaskRCNN.predict('training')`` + ``compute_losses`` (model.py:
+    1465-1514, 984-1000) against our jit-able ``train_forward`` on shared
+    weights, anchors (the reference's own array) and GT.
+
+    Determinism recipe: the GT box is set to the reference's own first
+    proposal (so >=1 positive exists); ROI caps are sized so every
+    positive and every negative candidate is kept on both sides
+    (positive cap 10 >= P, negative quota 31*P >= the 32-P pool), RPN
+    subsampling is disabled, and U-Net dropout is zeroed on both sides.
+    Both samplers then select the same ROI *sets* (order shuffled), and
+    every loss is an order-invariant mean -- so all five active losses
+    must agree.  This is the training-side counterpart of
+    test_whole_graph_predict_parity and exercises the full wiring:
+    trunk -> proposals -> target sampling -> heads -> losses."""
+    rcfg = _TinyPredictConfig()
+    rcfg.MASK_POOL_SIZE = [32, 32, 32]   # U-Net needs >=32^3 (see above)
+    rcfg.MASK_SHAPE = (32, 32, 32)
+    rcfg.STAGE = "beginning"             # edge loss off (typo deviation)
+    rcfg.TRAIN_ROIS_PER_IMAGE = 320
+    rcfg.ROI_POSITIVE_RATIO = 0.03125    # pos cap 10, neg quota 31*P
+    rcfg.POST_NMS_ROIS_TRAINING = 32
+    rcfg.RPN_TRAIN_ANCHORS_PER_IMAGE = 10_000
+    rcfg.BBOX_STD_DEV = np.array(CFG.bbox_std)
+    rcfg.DETECTION_TARGET_IOU_THRESHOLD = CFG.detection_target_iou
+    m = ref.model.MaskRCNN(rcfg, str(tmp_path), test_flag=False)
+    _randomize(m, 4)
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, tnn.Dropout3d):
+                mod.p = 0.0
+
+    d, h, w = CFG.image_shape
+    x = torch.randn(1, 1, d, h, w,
+                    generator=torch.Generator().manual_seed(12))
+
+    # probe the proposals once (trunk has no dropout; BN eval both modes)
+    # to pick a GT box guaranteed to have >=1 positive ROI
+    m.eval()
+    with torch.no_grad():
+        p2, p3 = m.fpn(x)
+        lo = [m.rpn(p) for p in (p2, p3)]
+        _, rc, rb = [torch.cat(list(o), dim=1) for o in zip(*lo)]
+        probe = ref.model.proposal_layer(
+            [rc, rb], proposal_count=rcfg.POST_NMS_ROIS_TRAINING,
+            nms_threshold=rcfg.RPN_NMS_THRESHOLD, anchors=m.anchors,
+            config=rcfg)[0]
+    scale = np.array([d, h, w, d, h, w], np.float32)
+    gt_norm = probe[0].numpy().astype(np.float32)
+    gt_vox = gt_norm * scale
+
+    labels = np.zeros((d, h, w), np.int32)
+    z1, y1, x1, z2, y2, x2 = (int(v) for v in gt_vox)
+    labels[z1:z2, y1:y2, x1:x2] = 1
+    labels[(z1 + z2) // 2:z2, (y1 + y2) // 2:y2, (x1 + x2) // 2:x2] = 2
+    onehot8 = np.zeros((8, d, h, w), np.float32)
+    for c in range(CFG.num_classes):
+        onehot8[c][labels == c] = 1
+
+    meta = np.array([[0, 1, d, h, w, 0, 0, 0, d, h, w] +
+                     [0] * CFG.num_classes], np.float32)
+    gt_ids = torch.from_numpy(np.arange(1, CFG.num_classes)[None])
+    gt_boxes = torch.from_numpy(
+        np.repeat(gt_vox[None], CFG.num_classes - 1, 0)[None])
+    with torch.no_grad():
+        outs = m.predict([x, torch.from_numpy(meta), gt_ids, gt_boxes,
+                          torch.from_numpy(onehot8[None])], "training")
+    (rpn_logits_t, rpn_pred_t, tgt_ids_t, cls_logits_t, tgt_deltas_t,
+     bbox_t, tgt_mask_t, mask_probs_t, mask_logits_t) = outs
+    n_pos = int((tgt_ids_t > 0).sum())
+    assert n_pos >= 1
+    assert tgt_ids_t.shape[0] == 32  # every candidate kept => deterministic
+
+    anchors_np = m.anchors.numpy()
+    match_t, rpn_bbox_t = ref.model.build_rpn_targets(
+        anchors_np, np.repeat(gt_vox[None], CFG.num_classes - 1, 0), rcfg)
+    with torch.no_grad():
+        losses_t = ref.model.compute_losses(
+            torch.from_numpy(match_t[None, :, None]),
+            torch.from_numpy(rpn_bbox_t[None].astype(np.float32)),
+            rpn_logits_t, rpn_pred_t, tgt_ids_t, cls_logits_t,
+            tgt_deltas_t, bbox_t, tgt_mask_t, mask_probs_t,
+            mask_logits_t, "beginning")
+    want = {k: float(v) for k, v in zip(
+        ("rpn_class_loss", "rpn_bbox_loss", "mrcnn_class_loss",
+         "mrcnn_bbox_loss", "mrcnn_mask_loss", "mrcnn_mask_edge_loss"),
+        losses_t)}
+
+    # our side: same weights, same anchors, our feeder-side RPN targets
+    from cfun_tpu.train.step import TrainBatch, train_forward
+    from cfun_tpu.train.targets import build_rpn_targets as our_rpn_targets
+    cfg = tiny_config(stage="beginning").replace(
+        approx_topk=False, unet_dropout_rate=0.0,
+        mask_pool_size=(32, 32, 32), mask_shape_override=(32, 32, 32),
+        train_rois_per_image=320, roi_positive_ratio=0.03125,
+        post_nms_rois_training=32, rpn_train_anchors_per_image=10_000)
+    params = jax.tree.map(jnp.asarray, tc.maskrcnn_from_torch(_sd(m), cfg))
+    match_j, deltas_j = our_rpn_targets(anchors_np, gt_vox, cfg,
+                                        np.random.default_rng(0))
+    batch = TrainBatch(image=_to_jax(x), rpn_match=jnp.asarray(match_j),
+                       rpn_deltas=jnp.asarray(deltas_j),
+                       gt_box_norm=jnp.asarray(gt_norm),
+                       labels=jnp.asarray(labels))
+    total, got = train_forward(params, batch, jnp.asarray(anchors_np),
+                               cfg, jax.random.PRNGKey(7))
+
+    for k in ("rpn_class_loss", "rpn_bbox_loss", "mrcnn_class_loss",
+              "mrcnn_bbox_loss", "mrcnn_mask_loss"):
+        # atol floors the comparison: the GT box is a refined anchor, so
+        # rpn_bbox_loss is legitimately ~1e-14 float noise on both sides
+        np.testing.assert_allclose(float(got[k]), want[k], rtol=5e-3,
+                                   atol=1e-6, err_msg=k)
+    assert want["mrcnn_mask_edge_loss"] == 0.0
+    assert float(got["mrcnn_mask_edge_loss"]) == 0.0
+
+
 def test_heart_losses_ab_vs_reference(ref):
     """Direct A/B of the four exactly-matching heart losses against the
     reference's own compute_* functions (model.py:808-935) on shared
