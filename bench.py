@@ -52,12 +52,47 @@ def main():
     det.detect(vol)  # compile + warm caches (host and device)
     det.detect(vol)
 
+    # 9 reps, median: the tunneled link's throughput swings minute to
+    # minute (device bucket observed 0.27-0.64 s across runs), so a short
+    # window under-/over-states the steady latency
     times = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         det.detect(vol)
         times.append(time.perf_counter() - t0)
     latency = float(np.median(times))
+
+    # Sustained batch throughput: detect_stream double-buffers the host
+    # mold of volume N+1 against the device run of volume N.
+    extras = {}
+    try:
+        vols = [synth_volume(seed=s) for s in (1, 2, 3)]
+        list(det.detect_stream(vols))  # warm the overlap path
+        t0 = time.perf_counter()
+        n_res = len(list(det.detect_stream(vols)))
+        sustained = (time.perf_counter() - t0) / n_res
+        extras["stream_sustained_s_per_volume"] = round(sustained, 4)
+    except Exception as e:
+        extras["stream_error"] = repr(e)[:200]
+
+    # LiTS variant full pipeline (P3D35, 512x512x400, device overlap-tile
+    # unmold, 2-bit label wire) -- the second model family's number.
+    try:
+        from cfun_tpu.config import lits_inference_config
+
+        lcfg = lits_inference_config("finetune")
+        ldet = Detector(lcfg, cfun.init_params(jax.random.PRNGKey(0), lcfg))
+        lvol = np.ascontiguousarray(
+            synth_volume(512, 512, 400, seed=4) - 450.0)
+        ldet.detect(lvol)
+        t_l = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ldet.detect(lvol)
+            t_l.append(time.perf_counter() - t0)
+        extras["lits_latency_s"] = round(float(np.median(t_l)), 4)
+    except Exception as e:
+        extras["lits_error"] = repr(e)[:200]
 
     # The reference's published-quality path is the finetune stage
     # (192^3 mask + U-Net upscale head, reference config.py:217-224 +
@@ -87,6 +122,7 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / latency, 2),
         "baseline_s": BASELINE_SECONDS,
         "breakdown": {k: round(v, 4) for k, v in det.last_timings.items()},
+        **extras,
         **finetune,
         "device": str(jax.devices()[0]),
     }))
