@@ -229,8 +229,10 @@ def heart_config(stage: str = "beginning", **overrides) -> Config:
     # bounds the mask-branch activations) and no-remat is 12% faster
     # (0.83 vs 0.95 s/step); the finetune 192^3 step needs remat to fit
     # (14.3 GiB with it).  Measured via compile().memory_analysis().
+    # != "beginning" (not == "finetune"): only 'beginning' was measured
+    # safe without remat; any other stage keeps it
     return Config(name="heart", stage=stage,
-                  remat_unet=(stage == "finetune")).replace(**overrides)
+                  remat_unet=(stage != "beginning")).replace(**overrides)
 
 
 def heart_inference_config(stage: str = "beginning", **overrides) -> Config:

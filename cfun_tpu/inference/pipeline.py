@@ -87,17 +87,20 @@ class Detector:
         return max(1, min(self.cfg.wire_slabs, self.cfg.image_shape[0])) \
             if (self._pipelined or self._pipelined_lits) else 1
 
+    def _slab_ranges(self):
+        """[(z_start, z_count)] partition of the molded depth -- the ONE
+        definition all slab producers share, so warmup slab shapes always
+        match detect()'s (a mismatch would recompile per volume)."""
+        d = self.cfg.image_shape[0]
+        zs = -(-d // self._num_slabs())
+        return [(z, min(zs, d - z)) for z in range(0, d, zs)]
+
     def warmup(self):
         d, h, w = self.cfg.image_shape
         win = jnp.asarray([0, 0, 0, d, h, w], jnp.float32)
         if self._packed:
-            ns = self._num_slabs()
-            zs = -(-d // ns)
-            slabs, z = [], 0
-            while z < d:
-                zc = min(zs, d - z)
-                slabs.append(jnp.zeros((zc, h, w), self._wire_dtype()))
-                z += zc
+            slabs = [jnp.zeros((zc, h, w), self._wire_dtype())
+                     for _, zc in self._slab_ranges()]
             out = self._infer_packed(self.params, tuple(slabs),
                                      self.anchors, win)
         else:
@@ -117,17 +120,11 @@ class Detector:
         if self._pipelined:
             src = np.ascontiguousarray(image_hwd, np.float32)
             mean, std = native.volume_stats(src)
-            ns = self._num_slabs()
-            zs = -(-d // ns)
-            slabs, z = [], 0
-            while z < d:
-                zc = min(zs, d - z)
-                slab = native.mold_slab_q8(src, cfg.image_shape, z, zc,
-                                           mean, std, 5.0,
-                                           cfg.wire_int8_scale)
-                # async: the transfer streams while the next slab resizes
-                slabs.append(jax.device_put(slab))
-                z += zc
+            # async device_put: each transfer streams while the next slab
+            # resizes
+            slabs = [jax.device_put(native.mold_slab_q8(
+                src, cfg.image_shape, z, zc, mean, std, 5.0,
+                cfg.wire_int8_scale)) for z, zc in self._slab_ranges()]
             window = np.array([0, 0, 0, d, h, w], np.float32)
         elif self._pipelined_lits:
             src = np.ascontiguousarray(image_hwd, np.float32)
@@ -135,16 +132,10 @@ class Detector:
             h0, w0, d0 = src.shape
             oh, ow, od = (max(0, (ph - h0) // 2), max(0, (pw - w0) // 2),
                           max(0, (pd - d0) // 2))
-            ns = self._num_slabs()
-            zs = -(-d // ns)
-            slabs, z = [], 0
-            while z < d:
-                zc = min(zs, d - z)
-                slab = native.lits_mold_slab_q8(
-                    src, (ph, pw, pd), cfg.image_shape, (oh, ow, od), z, zc,
-                    cfg.hu_window, cfg.wire_int8_scale)
-                slabs.append(jax.device_put(slab))
-                z += zc
+            slabs = [jax.device_put(native.lits_mold_slab_q8(
+                src, (ph, pw, pd), cfg.image_shape, (oh, ow, od), z, zc,
+                cfg.hu_window, cfg.wire_int8_scale))
+                for z, zc in self._slab_ranges()]
             sh, sw, sd = h / ph, w / pw, d / pd
             window = np.array([od * sd, oh * sh, ow * sw,
                                (od + d0) * sd, (oh + h0) * sh,

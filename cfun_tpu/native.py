@@ -44,6 +44,22 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    return _bind(lib)
+
+
+def _bind(lib) -> Optional[ctypes.CDLL]:
+    """Attach argtypes; a stale prebuilt .so missing newer symbols raises
+    AttributeError -> treat as unavailable so the NumPy fallbacks engage."""
+    global _lib
+    try:
+        _bind_symbols(lib)
+    except AttributeError:
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind_symbols(lib) -> None:
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
@@ -83,8 +99,6 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.heart_train_labels_i32.argtypes = [i32p] + [ctypes.c_int] * 3 + \
         [i32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
     lib.heart_train_labels_i32.restype = None
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:
@@ -242,8 +256,10 @@ def pad_nearest_labels(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
 def heart_train_mold(src_hwd: np.ndarray, out_shape_dhw, angle_deg: float):
     """Fused heart train molding: trilinear resize + nearest (H, W)
     rotation + z-score, emitted bf16 [Dt, Ht, Wt], or None if the native
-    library is unavailable.  Bit-equal to the resize -> rotate_hw ->
-    normalize -> astype(bfloat16) chain."""
+    library is unavailable.  Matches the resize -> rotate_hw -> normalize
+    -> astype(bfloat16) chain; the z-score statistics accumulate in double
+    here vs float32 in numpy, so ~1e-4 of voxels can differ by one bf16
+    ULP (labels and rotation index maps are exact)."""
     lib = _load()
     if lib is None:
         return None

@@ -131,7 +131,8 @@ def train_model(cfg: Config, train_dataset, val_dataset,
         feeder.close()
         val_feeder.close()
         logger.close()
-        checkpoint.flush()
+        # never mask the loop's own exception with a writer failure
+        checkpoint.flush(raise_errors=False)
 
     checkpoint.save(ckpt_path, state.params, epoch=epochs,
                     step=int(state.step), opt_state=state.opt_state,

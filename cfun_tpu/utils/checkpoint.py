@@ -112,11 +112,23 @@ def save_async(path: str, params, epoch: int = 0, step: int = 0,
                                    opt_np, meta))
 
 
-def flush() -> None:
-    """Block until all async checkpoint writes have completed (re-raises
-    the first writer exception, if any)."""
+def flush(raise_errors: bool = True) -> None:
+    """Block until ALL async checkpoint writes have completed.  Every
+    pending future is drained even if one failed; the first writer
+    exception is re-raised afterwards (or only reported when
+    ``raise_errors=False`` -- e.g. from a ``finally`` block, where raising
+    would mask the original training exception)."""
+    first = None
     while _PENDING:
-        _PENDING.pop(0).result()
+        try:
+            _PENDING.pop(0).result()
+        except Exception as e:  # noqa: BLE001 -- surface after draining
+            if first is None:
+                first = e
+    if first is not None:
+        if raise_errors:
+            raise first
+        print(f"checkpoint: background write failed: {first!r}")
 
 
 def load(path: str, params_template, opt_template: Any = None,

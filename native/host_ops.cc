@@ -365,10 +365,13 @@ void rotate_maps(int ht, int wt, float angle_deg, int* ry, int* rx) {
       const bool inside = ys >= -0.5 && ys <= ht - 0.5 && xs >= -0.5 &&
                           xs <= wt - 0.5;
       const int64_t i = static_cast<int64_t>(y) * wt + x;
+      // nearbyint: round-half-to-EVEN, matching np.round in the Python
+      // rotate_hw fallback (lround's half-away-from-zero differed on
+      // exact .5 grid hits)
       ry[i] = inside ? std::min(std::max(
-                  static_cast<int>(std::lround(ys)), 0), ht - 1) : -1;
+                  static_cast<int>(std::nearbyint(ys)), 0), ht - 1) : -1;
       rx[i] = inside ? std::min(std::max(
-                  static_cast<int>(std::lround(xs)), 0), wt - 1) : -1;
+                  static_cast<int>(std::nearbyint(xs)), 0), wt - 1) : -1;
     }
   }
 }

@@ -135,7 +135,13 @@ def test_feeder_produces_valid_batches():
     b = batches[0]
     assert b.image.shape == (1, *cfg.image_shape, 1)
     assert b.rpn_match.shape == (cfg.num_anchors,)
-    assert b.labels.shape == cfg.image_shape
+    # labels ship 4-bit W-packed (num_classes <= 16); unpack losslessly
+    from cfun_tpu.train.step import unpack_labels_w
+    d, h, w = cfg.image_shape
+    assert b.labels.shape == (d, h, w // 2)
+    labels = np.asarray(unpack_labels_w(jax.numpy.asarray(b.labels)))
+    assert labels.shape == cfg.image_shape
+    assert labels.max() < cfg.num_classes
     assert (b.rpn_match == 1).sum() >= 1
     assert np.all(b.gt_box_norm >= 0) and np.all(b.gt_box_norm <= 1)
     assert b.gt_box_norm[3] > b.gt_box_norm[0]
