@@ -263,8 +263,10 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
     proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
                                anchors, cfg, cfg.post_nms_rois_inference)
 
+    # one chunk: the lax.map chunking only bounds BACKWARD scatter-add
+    # buffers; forward-only inference pools all rois in one parallel step
     pooled = pyramid_roi_align(proposals, trunk.p2[0], trunk.p3[0],
-                               cfg.pool_size)
+                               cfg.pool_size, chunk=proposals.shape[0])
     logits, deltas = apply_classifier(params["classifier"], pooled,
                                       dtype=_dtype(cfg))
     probs = jax.nn.softmax(logits, axis=-1)

@@ -93,6 +93,37 @@ def _align_corner_coords(lo, hi, out_size: int):
     return lo + jnp.arange(out_size, dtype=jnp.float32) * step
 
 
+def _axis_weights(coords, size: int) -> jnp.ndarray:
+    """Linear-interpolation weight matrix [m, size] for clamped float
+    coords: row i holds (1-f) at floor(c_i) and f at floor(c_i)+1 (edge
+    rows collapse to a single 1).  Identical math to trilinear_sample's
+    per-axis lerp, expressed as a matrix so the 3D resample becomes three
+    MXU matmuls instead of eight 3D gathers (which XLA lowers to a
+    serial-ish gather loop on TPU -- measured 170 ms for ten
+    (32,80,80)-from-(256,320,320) crops vs ~5 ms separable)."""
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    i0 = jnp.floor(c).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, size - 1)
+    f = (c - i0.astype(jnp.float32))[:, None]
+    return (jax.nn.one_hot(i0, size, dtype=jnp.float32) * (1.0 - f) +
+            jax.nn.one_hot(i1, size, dtype=jnp.float32) * f)
+
+
+def separable_trilinear(vol: jnp.ndarray, zc, yc, xc) -> jnp.ndarray:
+    """Trilinear resample of ``vol [D, H, W, C]`` on a separable grid
+    (per-axis coord vectors) via three einsum contractions.  Exactly
+    trilinear_sample on meshgrid(zc, yc, xc) up to f32 summation order."""
+    d, h, w = vol.shape[:3]
+    wz = _axis_weights(zc, d)
+    wy = _axis_weights(yc, h)
+    wx = _axis_weights(xc, w)
+    v = vol.astype(jnp.float32)
+    out = jnp.einsum("zD,DHWC->zHWC", wz, v)
+    out = jnp.einsum("yH,zHWC->zyWC", wy, out)
+    out = jnp.einsum("xW,zyWC->zyxC", wx, out)
+    return out.astype(vol.dtype)
+
+
 def crop_resize_align_corners(vol: jnp.ndarray, box_norm: jnp.ndarray,
                               out_shape: Tuple[int, int, int]) -> jnp.ndarray:
     """Reference RoIAlign3D for one normalized box (model.py:265-289).
@@ -107,8 +138,7 @@ def crop_resize_align_corners(vol: jnp.ndarray, box_norm: jnp.ndarray,
     zc = _align_corner_coords(lo[0], hi[0], out_shape[0])
     yc = _align_corner_coords(lo[1], hi[1], out_shape[1])
     xc = _align_corner_coords(lo[2], hi[2], out_shape[2])
-    z, y, x = jnp.meshgrid(zc, yc, xc, indexing="ij")
-    return trilinear_sample(vol, z, y, x)
+    return separable_trilinear(vol, zc, yc, xc)
 
 
 def roi_align(vol: jnp.ndarray, boxes: jnp.ndarray,
@@ -141,10 +171,11 @@ def crop_resize_halfpix(vol: jnp.ndarray, box_vox: jnp.ndarray,
     zc = _clamp(zc, lo[0], jnp.maximum(hi[0] - 1, lo[0]))
     yc = _clamp(yc, lo[1], jnp.maximum(hi[1] - 1, lo[1]))
     xc = _clamp(xc, lo[2], jnp.maximum(hi[2] - 1, lo[2]))
-    z, y, x = jnp.meshgrid(zc, yc, xc, indexing="ij")
     if method == "nearest":
+        # gathers keep integer label volumes exact (no float weight pass)
+        z, y, x = jnp.meshgrid(zc, yc, xc, indexing="ij")
         return nearest_sample(vol, z, y, x)
-    return trilinear_sample(vol, z, y, x)
+    return separable_trilinear(vol, zc, yc, xc)
 
 
 def resize_trilinear(vol: jnp.ndarray,

@@ -97,3 +97,30 @@ def test_resize_trilinear_matches_separable_numpy():
 
     want = resize1d(resize1d(resize1d(vol[..., 0], 4, 0), 5, 1), 6, 2)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_separable_trilinear_matches_gather():
+    """The einsum (MXU) trilinear resample equals the 8-corner-gather
+    formulation on the same separable grid, including edge clamps and
+    degenerate boxes."""
+    from cfun_tpu.ops.sample3d import (separable_trilinear,
+                                       trilinear_sample,
+                                       _align_corner_coords)
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.normal(size=(13, 17, 11, 3)).astype(np.float32))
+    cases = [
+        (0.0, 13.0, 0.0, 17.0, 0.0, 11.0),     # full volume
+        (2.0, 9.0, 3.0, 12.0, 1.0, 8.0),       # interior
+        (-2.0, 5.0, -1.0, 20.0, 4.0, 15.0),    # out of range (clamps)
+        (4.0, 5.0, 6.0, 7.0, 2.0, 3.0),        # single-voxel
+        (5.0, 5.0, 6.0, 6.0, 2.0, 2.0),        # degenerate (hi == lo)
+    ]
+    for z1, z2, y1, y2, x1, x2 in cases:
+        zc = _align_corner_coords(jnp.float32(z1), jnp.float32(z2), 6)
+        yc = _align_corner_coords(jnp.float32(y1), jnp.float32(y2), 5)
+        xc = _align_corner_coords(jnp.float32(x1), jnp.float32(x2), 4)
+        z, y, x = jnp.meshgrid(zc, yc, xc, indexing="ij")
+        want = np.asarray(trilinear_sample(vol, z, y, x))
+        got = np.asarray(separable_trilinear(vol, zc, yc, xc))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
