@@ -193,3 +193,92 @@ def test_lits_per_class_edge_loss_ab(lref):
                                       jnp.ones(p, bool), probs, CFG,
                                       per_class=True))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class _TinyLitsPredictConfig:
+    """LiTS-tree reference-config stand-in sized to the tiny LiTS CFG
+    (LiTS_2017/LiTS_main.py:28-176 attribute surface of build/predict)."""
+    NAME = "tiny"
+    GPU_COUNT = 0
+    IMAGE_SHAPE = np.array([64, 64, 32, 1])
+    BACKBONE = "P3D35"
+    BACKBONE_CHANNELS = tuple(CFG.backbone_channels)
+    BACKBONE_STRIDES = list(CFG.backbone_strides)
+    TOP_DOWN_PYRAMID_SIZE = CFG.fpn_channels
+    RPN_CONV_CHANNELS = CFG.rpn_conv_channels
+    FPN_CLASSIFY_FC_LAYERS_SIZE = CFG.fc_size
+    UNET_MASK_BRANCH_CHANNEL = CFG.unet_base_channels
+    NUM_CLASSES = CFG.num_classes
+    RPN_ANCHOR_SCALES = tuple(CFG.anchor_scales)
+    RPN_ANCHOR_RATIOS = list(CFG.anchor_ratios)
+    RPN_ANCHOR_STRIDE = CFG.anchor_stride
+    RPN_NMS_THRESHOLD = CFG.rpn_nms_threshold
+    RPN_BBOX_STD_DEV = np.array(CFG.rpn_bbox_std)
+    PRE_NMS_LIMIT = CFG.pre_nms_limit
+    POST_NMS_ROIS_INFERENCE = CFG.post_nms_rois_inference
+    POOL_SIZE = list(CFG.pool_size)
+    MASK_POOL_SIZE = [32, 32, 32]
+    DETECTION_MIN_CONFIDENCE = 0.05
+    DETECTION_NMS_THRESHOLD = CFG.detection_nms_threshold
+    DETECTION_MAX_INSTANCES = CFG.detection_max_instances
+    STAGE = "together"
+    TRAIN_BN = False
+    MINI_MASK_SHAPE = (8, 8, 8)
+
+
+def test_lits_whole_graph_predict_parity(lref, tmp_path):
+    """END-TO-END A/B against the LiTS tree's own MaskRCNN.predict
+    (LiTS_2017/model.py:1419-1497): P3D35 trunk, proposal NMS, classifier,
+    detection layer, raw-image mask crops, dropout-free U-Net at the
+    'together' stage -- vs our jit'd infer_forward (name='lits', exact
+    probability-stack path).  The reference's own anchors are fed to our
+    graph (PARITY C9 neutralization), as in the root-tree test."""
+    import functools
+    from cfun_tpu.models import cfun
+
+    rcfg = _TinyLitsPredictConfig()
+    m = lref.model.MaskRCNN(rcfg, str(tmp_path), test_flag=True).eval()
+    _randomize(m, 7)
+    with torch.no_grad():
+        # amplify the heads so ROI and proposal scores spread well apart:
+        # raw 0.1*randn weights leave near-ties whose torch-vs-jax sort
+        # order differs, changing the NMS survivor SET (the proposal sets
+        # were verified identical at these gains)
+        for p in m.classifier.parameters():
+            p.mul_(4.0)
+        for p in m.rpn.parameters():
+            p.mul_(1.5)
+
+    d, h, w = 32, 64, 64
+    x = torch.randn(1, 1, d, h, w,
+                    generator=torch.Generator().manual_seed(12))
+    # LiTS meta layout: 3-element image_shape, window at meta[:, 4:10]
+    # (LiTS_2017/model.py:1863-1870) -- one element SHORTER than the root
+    # tree's (model.py:1871-1899); the root layout here would corrupt the
+    # clip window
+    meta = np.array([[0, d, h, w, 0, 0, 0, d, h, w] +
+                     [0] * CFG.num_classes], np.float32)
+    with torch.no_grad():
+        det_t, mask_t = m.predict([x, torch.from_numpy(meta)], "inference")
+    det_t = det_t[0].numpy()
+    mask_t = mask_t[0].numpy()
+
+    cfg = CFG.replace(stage="together", approx_topk=False,
+                      detection_min_confidence=0.05, fast_unmold=False,
+                      mask_pool_size=(32, 32, 32),
+                      mask_shape_override=(32, 32, 32))
+    params = jax.tree.map(jnp.asarray, tc.maskrcnn_from_torch(_sd(m), cfg))
+    out = cfun.infer_forward(
+        params, _to_jax(x), jnp.asarray(m.anchors.numpy()),
+        jnp.asarray([0, 0, 0, d, h, w], jnp.float32), cfg=cfg)
+    kept = np.asarray(out.det_valid)
+    det_j = np.asarray(out.detections)[kept]
+    mask_j = np.asarray(out.mask_probs,
+                        np.float32)[kept].transpose(0, 4, 1, 2, 3)
+
+    assert det_j.shape[0] == det_t.shape[0] >= 2
+    np.testing.assert_array_equal(det_j[:, 6], det_t[:, 6])
+    np.testing.assert_allclose(det_j[:, :6], det_t[:, :6], atol=1.01)
+    assert (det_j[:, :6] != det_t[:, :6]).sum() <= 1
+    np.testing.assert_allclose(det_j[:, 7], det_t[:, 7], atol=2e-3)
+    np.testing.assert_allclose(mask_j, mask_t, atol=5e-3)
