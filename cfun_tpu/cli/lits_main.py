@@ -166,6 +166,10 @@ def main(argv=None):
     parser.add_argument("--bbox", default="false")
     parser.add_argument("--epochs", default=None, type=int)
     parser.add_argument("--workers", default=8, type=int)
+    parser.add_argument("--mesh", default=None, metavar="DATA[,SPACE]",
+                        help="train over a device mesh: DATA-way volume "
+                             "parallelism x SPACE-way spatial H sharding; "
+                             "needs DATA*SPACE visible devices")
     parser.add_argument("--exact", action="store_true",
                         help="disable every wire/unmold approximation for "
                              "reference-exact numerics at latency cost")
@@ -202,10 +206,12 @@ def main(argv=None):
         from cfun_tpu.train.loop import train_model
         print(cfg.describe())
         print("Training...")
+        from cfun_tpu.cli import parse_mesh
         with trace_ctx:
             train_model(cfg, train_ds, val_ds, log_dir=args.logs,
                         weights=args.weights, epochs=args.epochs,
-                        num_workers=args.workers)
+                        num_workers=args.workers,
+                        mesh_spec=parse_mesh(args.mesh))
         return
 
     overrides = exact_reference_overrides() if args.exact else {}

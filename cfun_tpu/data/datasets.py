@@ -129,6 +129,47 @@ class LiTSDataset(Dataset):
         return np.eye(4)
 
 
+class SyntheticDataset(Dataset):
+    """In-memory volumes with an embedded multi-class organ blob -- backs
+    the driver's multichip dryrun and the mesh-trainer integration tests
+    (no MM-WHS/LiTS data exists in this environment; see BASELINE.md)."""
+
+    def __init__(self, cfg, n: int = 4, seed: int = 0,
+                 host_shape=(48, 48, 24)):
+        super().__init__()
+        self._volumes = []
+        h, w, d = host_shape
+        n_fg = min(cfg.num_classes - 1, 3)
+        for i in range(n):
+            rng = np.random.default_rng(seed + i)
+            labels = np.zeros((h, w, d), np.int32)
+            cy, cx, cz = (rng.integers(h // 3, 2 * h // 3),
+                          rng.integers(w // 3, 2 * w // 3), d // 2)
+            for cls in range(1, n_fg + 1):
+                r = max(2, (h // 4) - 2 * (cls - 1))
+                rz = max(1, (d // 4) - (cls - 1))
+                yy, xx, zz = np.ogrid[:h, :w, :d]
+                ball = (((yy - cy) / r) ** 2 + ((xx - cx) / r) ** 2 +
+                        ((zz - cz) / rz) ** 2) < 1.0
+                labels[ball] = cls
+            image = rng.normal(0.0, 1.0, size=(h, w, d)).astype(np.float32)
+            image += 3.0 * (labels > 0)
+            self._volumes.append((image, labels))
+            self.add_image("synth", image_id=i, path=f"synth_{i}")
+        for cls in range(1, cfg.num_classes):
+            self.add_class("synth", cls, f"organ_{cls}")
+        self.prepare()
+
+    def load_image(self, image_id: int) -> np.ndarray:
+        return np.expand_dims(self._volumes[image_id][0], -1)
+
+    def load_mask(self, image_id: int) -> np.ndarray:
+        return self._volumes[image_id][1]
+
+    def load_affine(self, image_id: int) -> np.ndarray:
+        return np.eye(4)
+
+
 def _resolve(data_dir: str, path: str) -> str:
     """Manifest paths may be absolute or data_dir-relative."""
     if os.path.isabs(path) and os.path.exists(path):
