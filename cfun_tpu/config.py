@@ -111,6 +111,12 @@ class Config:
     remat_trunk: bool = False
     # memory-safe custom VJP for the U-Net's 1-channel entry conv
     safe_entry_conv: bool = True
+    # on a mesh with space > 1: run the mask U-Net as the explicit
+    # shard_map halo-exchange graph (ppermute halos + psum instance norms,
+    # parallel/halo.py::shard_map_unet) with crop D sharded over 'space',
+    # instead of leaving the crops' sharding to GSPMD propagation.  Needs
+    # local D % 16 == 0 (four stride-2 levels).
+    shard_unet_spatial: bool = False
 
     # explicit mask-shape override (tests / tiny configs); None = stage rule
     mask_shape_override: Tuple[int, int, int] | None = None
@@ -123,12 +129,24 @@ class Config:
     # int8 wire quantization scale: 25.4 spans the z-scored heart volume's
     # +-5 sigma; LiTS HU-windowed volumes live in [0, 1] and use 127
     wire_int8_scale: float = 25.4
+    # int8 wire for the TRAIN image upload (halves the dominant per-step
+    # H2D bytes on link-bound hosts).  Quantization noise is ~0.011 sigma
+    # rms (uniform over a 1/25.4 step) -- OFF by default because it
+    # changes training numerics vs the reference; the measured loss-curve
+    # delta is recorded in README.
+    train_wire_int8: bool = False
     # 'pallas' = single-kernel greedy NMS; 'scan' = lax.scan formulation;
     # 'auto' = scan (27 ms at K=500, and Pallas grid steps dispatch as
     # per-step remote calls on tunneled backends, ~32 ms each).  Set
     # 'pallas' explicitly on directly-attached TPU hosts.  Identical keep
     # semantics either way (tests/test_pallas_nms.py).
     nms_backend: str = "auto"
+    # True: the inference mask U-Net runs over the fused Pallas
+    # conv+InstanceNorm+LeakyReLU kernels (ops/pallas_conv.py).  Opt-in:
+    # on tunneled backends every pallas_call dispatches as a remote call
+    # (~32 ms), so the fused graph only pays off on directly-attached
+    # chips.  Inference only (no VJP); training always uses XLA convs.
+    pallas_unet: bool = False
     # approx_max_k for the pre-NMS top-1000 score filter: ~100x faster XLA
     # compile than exact top_k fused with the gather pipeline, negligible
     # recall loss among 43k anchors.  False = exact reference semantics.

@@ -20,6 +20,7 @@ polymorphism").
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cfun_tpu import nn
@@ -69,94 +70,255 @@ def init_unet(key, c_in: int, n_classes: int, base: int) -> nn.Params:
     }
 
 
-def _norm_lrelu_conv(p, x, dtype):
-    return nn.conv3d(p, nn.leaky_relu(nn.instance_norm(x)), dtype=dtype)
+def apply_unet_fused(params: nn.Params, x: jnp.ndarray, *, stage: str,
+                     dtype=jnp.bfloat16, interpret: bool = False,
+                     min_fused_voxels: int = 4096) -> jnp.ndarray:
+    """Inference-path U-Net over fused Pallas conv+IN+LReLU kernels.
 
+    Same graph as :func:`apply_unet` (deterministic / no-dropout form),
+    with every stride-1 3^3 conv that meets ``min_fused_voxels`` lowered to
+    ``ops.pallas_conv.fused_conv3d``: the preceding InstanceNorm + LeakyReLU
+    ride into the conv as a per-(batch, channel) affine (nearest-upsample
+    commutes with both), and the conv emits its output moments so the NEXT
+    InstanceNorm needs no reduction pass.  Stride-2 downs, 1x1 convs and
+    the finetune 5^3 upscale head stay XLA (tiny or differently-shaped).
 
-def _conv_norm_lrelu(p, x, dtype):
-    return nn.leaky_relu(nn.instance_norm(nn.conv3d(p, x, dtype=dtype)))
+    Opt-in (Config.pallas_unet), inference only -- no VJP is defined.
+    Parity vs apply_unet is pinned by tests/test_pallas_conv.py.
+    """
+    from cfun_tpu.ops.pallas_conv import (fused_conv3d, identity_affine,
+                                          in_affine_from_sums)
 
+    b = x.shape[0]
 
-def _norm_lrelu_upscale_conv_norm_lrelu(p, x, dtype):
-    x = nn.upsample_nearest(nn.leaky_relu(nn.instance_norm(x)))
-    return nn.leaky_relu(nn.instance_norm(nn.conv3d(p, x, dtype=dtype)))
+    def nsp(t):
+        return t.shape[1] * t.shape[2] * t.shape[3]
 
+    def can_fuse(t):
+        return t.shape[-1] > 1 and nsp(t) >= min_fused_voxels
 
-def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
-               dropout_rate: float = 0.0, dropout_key=None,
-               dtype=jnp.float32) -> jnp.ndarray:
-    """x: [B, D, H, W, c_in] crop -> class logits [B, D', H', W', n_classes]
-    where D' = D (or 2D in finetune)."""
-    det = dropout_key is None or dropout_rate == 0.0
-    dkeys = nn.key_iter(dropout_key) if not det else None
+    def in_affine(t):
+        """(scale, shift) of IN(t) via an XLA reduction (used where the
+        producing op was not a fused conv)."""
+        mean = jnp.mean(t, axis=(1, 2, 3), dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(t.astype(jnp.float32) - mean[:, None, None, None, :]),
+            axis=(1, 2, 3))
+        scale = jax.lax.rsqrt(var + 1e-5)
+        return scale, -mean * scale
 
-    def drop(v):
-        if det:
-            return v
-        return nn.channel_dropout(next(dkeys), v, dropout_rate, False)
+    def conv(p, v, stride=1):
+        return nn.conv3d(p, v, stride=stride, dtype=dtype)
+
+    def fconv(p, v, affine=None, pre_lrelu=True):
+        """Fused conv; falls back to the XLA composition at tiny sizes."""
+        if affine is None:
+            affine = identity_affine(b, v.shape[-1])
+        if can_fuse(v):
+            return fused_conv3d(v, p["w"], affine[0], affine[1],
+                                pre_lrelu=pre_lrelu, out_dtype=dtype,
+                                interpret=interpret)
+        sc, sh = affine
+        act = v.astype(jnp.float32) * sc[:, None, None, None, :] + \
+            sh[:, None, None, None, :]
+        if pre_lrelu:
+            act = nn.leaky_relu(act)
+        y = conv(p, act.astype(dtype))
+        s = jnp.stack([jnp.sum(y, axis=(1, 2, 3), dtype=jnp.float32),
+                       jnp.sum(jnp.square(y.astype(jnp.float32)),
+                               axis=(1, 2, 3))], axis=1)
+        return y, s
+
+    def apply_affine_lrelu(v, sums):
+        sc, sh = in_affine_from_sums(sums, nsp(v))
+        out = v.astype(jnp.float32) * sc[:, None, None, None, :] + \
+            sh[:, None, None, None, :]
+        return nn.leaky_relu(out).astype(v.dtype)
 
     # ---- level 1 context
-    if x.shape[-1] == 1:
-        # memory-safe VJP for the 1-channel entry conv (see nn.conv3d_1ch)
-        out = nn.conv3d_1ch(params["c1_1"], x, dtype=dtype)
-    else:
-        out = nn.conv3d(params["c1_1"], x, dtype=dtype)
+    out = nn.conv3d_1ch(params["c1_1"], x, dtype=dtype)
     residual = out
-    out = nn.leaky_relu(out)
-    out = nn.conv3d(params["c1_2"], out, dtype=dtype)
-    out = drop(out)
-    out = nn.conv3d(params["c1_lrelu_conv"], nn.leaky_relu(out), dtype=dtype)
+    out, _ = fconv(params["c1_2"], out)               # lrelu folded in
+    out, _ = fconv(params["c1_lrelu_conv"], out)
     out = out + residual
-    context_1 = nn.leaky_relu(out)  # pre-norm tap (mask_branch.py:134)
-    out = nn.leaky_relu(nn.instance_norm(out))
+    context_1 = nn.leaky_relu(out)
+    aff = in_affine(out)
 
-    # ---- levels 2-5 context (shared-weight double conv per level)
+    # ---- levels 2-5 context
     contexts = []
     for lvl in (2, 3, 4, 5):
-        out = nn.conv3d(params[f"c{lvl}_down"], out, stride=2, dtype=dtype)
+        down_in = nn.leaky_relu(nn.instance_norm(out)) if lvl > 2 else \
+            (out.astype(jnp.float32) * aff[0][:, None, None, None, :] +
+             aff[1][:, None, None, None, :])
+        if lvl == 2:
+            down_in = nn.leaky_relu(down_in).astype(dtype)
+        out = conv(params[f"c{lvl}_down"], down_in, stride=2)
         residual = out
-        out = _norm_lrelu_conv(params[f"c{lvl}_conv"], out, dtype)
-        out = drop(out)
-        out = _norm_lrelu_conv(params[f"c{lvl}_conv"], out, dtype)
-        out = out + residual
+        o1, s1 = fconv(params[f"c{lvl}_conv"], out, affine=in_affine(out))
+        o2, _ = fconv(params[f"c{lvl}_conv"], o1,
+                      affine=in_affine_from_sums(s1, nsp(o1)))
+        out = o2 + residual
         if lvl < 5:
-            out = nn.leaky_relu(nn.instance_norm(out))
-            contexts.append(out)
+            contexts.append(nn.leaky_relu(nn.instance_norm(out)))
     context_2, context_3, context_4 = contexts
 
+    def up_conv(p, v, affine):
+        # lrelu(IN(v)) -> upsample -> conv: affine+lrelu commute with
+        # nearest-upsample, so upsample RAW and fold them into the kernel
+        vu = nn.upsample_nearest(v)
+        return fconv(p, vu, affine=affine)
+
     # ---- level 0 localization
-    out = _norm_lrelu_upscale_conv_norm_lrelu(params["l0_up_conv"], out, dtype)
-    out = nn.conv3d(params["l0_conv"], out, dtype=dtype)
+    out, s = up_conv(params["l0_up_conv"], out, in_affine(out))
+    out = apply_affine_lrelu(out, s)
+    out = conv(params["l0_conv"], out)
     out = nn.leaky_relu(nn.instance_norm(out))
 
     # ---- decoder
+    def decode(cat, conv_p, reduce_p, upconv_p):
+        o, s = fconv(conv_p, cat, pre_lrelu=False)
+        o = apply_affine_lrelu(o, s)
+        ds = o
+        o = conv(reduce_p, o)
+        o, s = up_conv(upconv_p, o, in_affine(o))
+        return apply_affine_lrelu(o, s), ds
+
     out = jnp.concatenate([out, context_4], axis=-1)
-    out = _conv_norm_lrelu(params["l1_conv"], out, dtype)
-    out = nn.conv3d(params["l1_reduce"], out, dtype=dtype)
-    out = _norm_lrelu_upscale_conv_norm_lrelu(params["l1_up_conv"], out, dtype)
-
+    out, _ = decode(out, params["l1_conv"], params["l1_reduce"],
+                    params["l1_up_conv"])
     out = jnp.concatenate([out, context_3], axis=-1)
-    out = _conv_norm_lrelu(params["l2_conv"], out, dtype)
-    ds2 = out
-    out = nn.conv3d(params["l2_reduce"], out, dtype=dtype)
-    out = _norm_lrelu_upscale_conv_norm_lrelu(params["l2_up_conv"], out, dtype)
-
+    out, ds2 = decode(out, params["l2_conv"], params["l2_reduce"],
+                      params["l2_up_conv"])
     out = jnp.concatenate([out, context_2], axis=-1)
-    out = _conv_norm_lrelu(params["l3_conv"], out, dtype)
-    ds3 = out
-    out = nn.conv3d(params["l3_reduce"], out, dtype=dtype)
-    out = _norm_lrelu_upscale_conv_norm_lrelu(params["l3_up_conv"], out, dtype)
+    out, ds3 = decode(out, params["l3_conv"], params["l3_reduce"],
+                      params["l3_up_conv"])
 
     out = jnp.concatenate([out, context_1], axis=-1)
-    out = _conv_norm_lrelu(params["l4_conv"], out, dtype)
-    out_pred = nn.conv3d(params["l4_out"], out, dtype=dtype)
+    o, s = fconv(params["l4_conv"], out, pre_lrelu=False)
+    out = apply_affine_lrelu(o, s)
+    out_pred = conv(params["l4_out"], out)
 
     # ---- deep supervision
-    ds2_up = nn.upsample_nearest(nn.conv3d(params["ds2"], ds2, dtype=dtype))
-    ds3_c = nn.conv3d(params["ds3"], ds3, dtype=dtype)
+    ds2_up = nn.upsample_nearest(conv(params["ds2"], ds2))
+    ds3_c = conv(params["ds3"], ds3)
     out = out_pred + nn.upsample_nearest(ds2_up + ds3_c)
 
     if stage == "finetune":
         up = nn.upsample_nearest(out)
-        out = up + nn.conv3d(params["out_upscale"], up, dtype=dtype)
+        out = up + conv(params["out_upscale"], up)
+    return out
+
+
+def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
+               dropout_rate: float = 0.0, dropout_key=None,
+               dtype=jnp.float32, axis_name: str | None = None
+               ) -> jnp.ndarray:
+    """x: [B, D, H, W, c_in] crop -> class logits [B, D', H', W', n_classes]
+    where D' = D (or 2D in finetune).
+
+    ``axis_name``: when set, ``x`` is a per-device shard split along D over
+    that mesh axis (inside ``jax.shard_map``): every conv exchanges halos
+    with ``lax.ppermute`` and instance norms psum their spatial statistics,
+    so the sharded graph computes exactly the dense graph (the volumetric
+    analogue of sequence parallelism, SURVEY.md s2.4b).  The graph
+    structure is ONE definition for both paths -- parity by construction.
+    """
+    det = dropout_key is None or dropout_rate == 0.0
+    dkeys = nn.key_iter(dropout_key) if not det else None
+
+    if axis_name is None:
+        def conv(p, v, stride=1):
+            return nn.conv3d(p, v, stride=stride, dtype=dtype)
+
+        inorm = nn.instance_norm
+    else:
+        from cfun_tpu.parallel.halo import halo_conv3d, instance_norm_sharded
+
+        def conv(p, v, stride=1):
+            return halo_conv3d(p, v, axis_name, stride=stride, dtype=dtype)
+
+        def inorm(v):
+            return instance_norm_sharded(v, axis_name)
+
+    def drop(v):
+        if det:
+            return v
+        # channel masks have no spatial extent, so the same key gives every
+        # 'space' shard the identical mask
+        return nn.channel_dropout(next(dkeys), v, dropout_rate, False)
+
+    def norm_lrelu_conv(p, v):
+        return conv(p, nn.leaky_relu(inorm(v)))
+
+    def conv_norm_lrelu(p, v):
+        return nn.leaky_relu(inorm(conv(p, v)))
+
+    def norm_lrelu_upscale_conv_norm_lrelu(p, v):
+        v = nn.upsample_nearest(nn.leaky_relu(inorm(v)))
+        return nn.leaky_relu(inorm(conv(p, v)))
+
+    # ---- level 1 context
+    if x.shape[-1] == 1 and axis_name is None:
+        # memory-safe VJP for the 1-channel entry conv (see nn.conv3d_1ch)
+        out = nn.conv3d_1ch(params["c1_1"], x, dtype=dtype)
+    else:
+        out = conv(params["c1_1"], x)
+    residual = out
+    out = nn.leaky_relu(out)
+    out = conv(params["c1_2"], out)
+    out = drop(out)
+    out = conv(params["c1_lrelu_conv"], nn.leaky_relu(out))
+    out = out + residual
+    context_1 = nn.leaky_relu(out)  # pre-norm tap (mask_branch.py:134)
+    out = nn.leaky_relu(inorm(out))
+
+    # ---- levels 2-5 context (shared-weight double conv per level)
+    contexts = []
+    for lvl in (2, 3, 4, 5):
+        out = conv(params[f"c{lvl}_down"], out, stride=2)
+        residual = out
+        out = norm_lrelu_conv(params[f"c{lvl}_conv"], out)
+        out = drop(out)
+        out = norm_lrelu_conv(params[f"c{lvl}_conv"], out)
+        out = out + residual
+        if lvl < 5:
+            out = nn.leaky_relu(inorm(out))
+            contexts.append(out)
+    context_2, context_3, context_4 = contexts
+
+    # ---- level 0 localization
+    out = norm_lrelu_upscale_conv_norm_lrelu(params["l0_up_conv"], out)
+    out = conv(params["l0_conv"], out)
+    out = nn.leaky_relu(inorm(out))
+
+    # ---- decoder
+    out = jnp.concatenate([out, context_4], axis=-1)
+    out = conv_norm_lrelu(params["l1_conv"], out)
+    out = conv(params["l1_reduce"], out)
+    out = norm_lrelu_upscale_conv_norm_lrelu(params["l1_up_conv"], out)
+
+    out = jnp.concatenate([out, context_3], axis=-1)
+    out = conv_norm_lrelu(params["l2_conv"], out)
+    ds2 = out
+    out = conv(params["l2_reduce"], out)
+    out = norm_lrelu_upscale_conv_norm_lrelu(params["l2_up_conv"], out)
+
+    out = jnp.concatenate([out, context_2], axis=-1)
+    out = conv_norm_lrelu(params["l3_conv"], out)
+    ds3 = out
+    out = conv(params["l3_reduce"], out)
+    out = norm_lrelu_upscale_conv_norm_lrelu(params["l3_up_conv"], out)
+
+    out = jnp.concatenate([out, context_1], axis=-1)
+    out = conv_norm_lrelu(params["l4_conv"], out)
+    out_pred = conv(params["l4_out"], out)
+
+    # ---- deep supervision
+    ds2_up = nn.upsample_nearest(conv(params["ds2"], ds2))
+    ds3_c = conv(params["ds3"], ds3)
+    out = out_pred + nn.upsample_nearest(ds2_up + ds3_c)
+
+    if stage == "finetune":
+        up = nn.upsample_nearest(out)
+        out = up + conv(params["out_upscale"], up)
     return out

@@ -49,6 +49,75 @@ def exchange_halo(x: jnp.ndarray, axis_name: str, halo: int,
     return jnp.concatenate([from_left, x, from_right], axis=axis)
 
 
+def instance_norm_sharded(x: jnp.ndarray, axis_name: str,
+                          eps: float = 1e-5) -> jnp.ndarray:
+    """Instance norm over spatial dims of a shard split along a spatial
+    axis: statistics are psum'd over the mesh axis so the result equals
+    the dense ``nn.instance_norm`` of the gathered volume.
+
+    Two-pass (mean, then squared deviations) to match the dense kernel's
+    numerics, not E[x^2]-E[x]^2.  Stats reduce in f32; the normalization
+    applies in the input dtype (see nn.instance_norm).
+    """
+    n = lax.psum(x.shape[1] * x.shape[2] * x.shape[3], axis_name)
+    s = jnp.sum(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    mean = lax.psum(s, axis_name) / n
+    diff = x - mean.astype(x.dtype)
+    ss = jnp.sum(jnp.square(diff), axis=(1, 2, 3), keepdims=True,
+                 dtype=jnp.float32)
+    var = lax.psum(ss, axis_name) / n
+    scale = lax.rsqrt(var + eps)
+    return diff * scale.astype(x.dtype)
+
+
+def shard_map_unet(mesh, params: nn.Params, crops: jnp.ndarray, *,
+                   stage: str, dropout_rate: float = 0.0, dropout_key=None,
+                   dtype=jnp.float32, axis: str = "space") -> jnp.ndarray:
+    """Run the mask U-Net with its crops' D axis sharded over ``axis``.
+
+    The assembled spatially-sharded U-Net (SURVEY.md s2.4b): one
+    ``jax.shard_map`` whose body is the SAME ``apply_unet`` graph with
+    ppermute halo convs and psum instance norms -- the capability the halo
+    primitives exist for (training/serving mask resolutions beyond one
+    chip's HBM, e.g. finetune 192^3+).  Params and the dropout key are
+    replicated; other mesh axes (e.g. 'data') stay in GSPMD auto mode so
+    this nests inside the data-parallel train step.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from cfun_tpu.models.unet3d import apply_unet
+
+    n_shards = mesh.shape[axis]
+    local_d = crops.shape[1] // n_shards
+    # 4 stride-2 downsamplings: every level's local plane count must stay
+    # even, i.e. local D divisible by 16.  True for all real mask shapes at
+    # space=2 (96/2, 192/2, 32/2, 64/2); larger space factors need D to
+    # keep up.
+    if crops.shape[1] % n_shards or local_d % 16:
+        raise ValueError(
+            f"shard_map_unet: D={crops.shape[1]} over {n_shards} '{axis}' "
+            f"shards gives local D={local_d}; need local D % 16 == 0 so "
+            "all four stride-2 context levels stay shard-aligned")
+    spec = P(None, axis)
+    auto = frozenset(mesh.axis_names) - {axis}
+    kw = {"axis_names": {axis}} if auto else {}
+
+    if dropout_key is None:
+        def body_det(p, c):
+            return apply_unet(p, c, stage=stage, dtype=dtype,
+                              axis_name=axis)
+
+        return jax.shard_map(body_det, mesh=mesh, in_specs=(P(), spec),
+                             out_specs=spec, **kw)(params, crops)
+
+    def body(p, c, k):
+        return apply_unet(p, c, stage=stage, dropout_rate=dropout_rate,
+                          dropout_key=k, dtype=dtype, axis_name=axis)
+
+    return jax.shard_map(body, mesh=mesh, in_specs=(P(), spec, P()),
+                         out_specs=spec, **kw)(params, crops, dropout_key)
+
+
 def halo_conv3d(params: nn.Params, x: jnp.ndarray, axis_name: str,
                 stride=1, dtype=jnp.float32, shard_axis: int = 1
                 ) -> jnp.ndarray:

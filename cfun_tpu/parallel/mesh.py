@@ -108,7 +108,8 @@ def make_parallel_train_step(cfg: Config, anchors, mesh: Mesh):
     def step(state: TrainState, batch: TrainBatch, key):
         (total, parts), grads = jax.value_and_grad(
             batched_train_forward, has_aux=True)(state.params, batch,
-                                                 anchors, cfg, key)
+                                                 anchors, cfg, key,
+                                                 mesh=mesh)
         return apply_update(cfg, state, grads, total, parts)
 
     step_jit = jax.jit(

@@ -114,7 +114,8 @@ def _build_training_programs(cfg: Config, anchors,
     repl = NamedSharding(mesh, P())
     bshard = batch_sharding(mesh)
     val_fn = jax.jit(
-        lambda p, b, a, k: batched_train_forward(p, b, a, cfg, k),
+        lambda p, b, a, k: batched_train_forward(p, b, a, cfg, k,
+                                                 mesh=mesh),
         in_shardings=(repl, bshard, repl, repl))
     return TrainingPrograms(
         init_state, step_fn, val_fn,
@@ -194,16 +195,30 @@ def train_model(cfg: Config, train_dataset, val_dataset,
             # metric sums stay on device so steps pipeline with the feeder;
             # only the periodic progress print forces a sync
             dev_sums = None
-            items = feeder.epoch(angle, cfg.steps_per_epoch * prog.group)
-            for i, group in enumerate(_grouped(items, prog.group)):
+            items = _grouped(
+                feeder.epoch(angle, cfg.steps_per_epoch * prog.group),
+                prog.group)
+            # one-ahead upload: batch i+1's device_put is issued while step
+            # i executes, so H2D overlaps compute where the transport
+            # allows (jax transfers are async; mirrors detect_stream)
+            pending = next(items, None)
+            pending = prog.put_batch(pending) if pending is not None else None
+            i = 0
+            while pending is not None:
+                cur = pending
                 key, sub = jax.random.split(key)
-                state, metrics = prog.step(state, prog.put_batch(group), sub)
+                state, metrics = prog.step(state, cur, sub)  # async dispatch
+                # while step i runs: the feeder molds item i+1 (blocks on
+                # its worker) and its upload is enqueued
+                nxt = next(items, None)
+                pending = prog.put_batch(nxt) if nxt is not None else None
                 dev_sums = metrics if dev_sums is None else jax.tree.map(
                     jnp.add, dev_sums, metrics)
                 if (i + 1) % 5 == 0 or i + 1 == cfg.steps_per_epoch:
                     progress(i + 1, cfg.steps_per_epoch,
                              {"loss": float(metrics["total_loss"])},
                              prefix=f"epoch {epoch} ")
+                i += 1
             fetched = {k: float(v) / cfg.steps_per_epoch
                        for k, v in dev_sums.items()}
             total_sum = fetched.pop("total_loss")

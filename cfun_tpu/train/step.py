@@ -120,12 +120,22 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
 
 
 def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
-                  cfg: Config, key) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Forward + all losses for one example.  Returns (total, unweighted)."""
+                  cfg: Config, key, mesh=None
+                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Forward + all losses for one example.  Returns (total, unweighted).
+
+    ``mesh``: when training on a ('data', 'space') mesh with
+    cfg.shard_unet_spatial, the mask U-Net runs as the explicit shard_map
+    halo graph with crop D sharded over 'space' (parallel/halo.py)."""
     k_tgt, k_drop = jax.random.split(key)
     train_det, train_mask_branch, edge_on = stage_flags(cfg)
 
-    trunk = cfun.apply_trunk(params, batch.image, cfg,
+    image = batch.image
+    if image.dtype == jnp.int8:
+        # int8 train wire (cfg.train_wire_int8): dequantize on device
+        image = image.astype(jnp.dtype(cfg.compute_dtype)) * (
+            1.0 / cfg.wire_int8_scale)
+    trunk = cfun.apply_trunk(params, image, cfg,
                              remat=cfg.remat_trunk)
     proposals, valid = propose(trunk.rpn_logits[0], trunk.rpn_deltas[0],
                                anchors, cfg, cfg.post_nms_rois_training)
@@ -160,13 +170,26 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
                                                    tgt.roi_valid, deltas_pred)
 
     if train_mask_branch:
-        crops = roi_align(batch.image[0], tgt.pos_rois,
+        crops = roi_align(image[0], tgt.pos_rois,
                           tuple(cfg.mask_pool_size))
 
-        def mask_fn(p, c):
-            return apply_mask_head(
-                p, c, stage=cfg.stage, dropout_rate=cfg.unet_dropout_rate,
-                dropout_key=k_drop, dtype=jnp.dtype(cfg.compute_dtype))
+        shard_spatial = (mesh is not None and cfg.shard_unet_spatial
+                         and mesh.shape.get("space", 1) > 1)
+        if shard_spatial:
+            from cfun_tpu.parallel.halo import shard_map_unet
+
+            def mask_fn(p, c):
+                return shard_map_unet(
+                    mesh, p["unet"], c, stage=cfg.stage,
+                    dropout_rate=cfg.unet_dropout_rate,
+                    dropout_key=k_drop,
+                    dtype=jnp.dtype(cfg.compute_dtype))
+        else:
+            def mask_fn(p, c):
+                return apply_mask_head(
+                    p, c, stage=cfg.stage,
+                    dropout_rate=cfg.unet_dropout_rate,
+                    dropout_key=k_drop, dtype=jnp.dtype(cfg.compute_dtype))
 
         if cfg.remat_unet:
             mask_fn = jax.checkpoint(mask_fn)
@@ -183,7 +206,7 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
 
 
 def batched_train_forward(params, batch: TrainBatch, anchors, cfg: Config,
-                          key):
+                          key, mesh=None):
     """Mean loss over a stacked TrainBatch (leading axis = volumes).
 
     Used by the data-parallel step (cfun_tpu/parallel/mesh.py): under a
@@ -191,7 +214,7 @@ def batched_train_forward(params, batch: TrainBatch, anchors, cfg: Config,
     """
     keys = jax.random.split(key, batch.image.shape[0])
     totals, parts = jax.vmap(
-        lambda b, k: train_forward(params, b, anchors, cfg, k)
+        lambda b, k: train_forward(params, b, anchors, cfg, k, mesh=mesh)
     )(batch, keys)
     return jnp.mean(totals), jax.tree.map(jnp.mean, parts)
 

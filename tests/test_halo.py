@@ -74,3 +74,82 @@ def test_halo_conv_stride2_matches_dense():
         out_specs=P(None, "space", None, None, None)))(x)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_sharded_matches_dense():
+    from cfun_tpu.parallel.halo import instance_norm_sharded
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(2.0, 3.0, size=(2, 16, 4, 4, 6))
+                    .astype(np.float32))
+    dense = nn.instance_norm(x)
+    sharded = jax.jit(jax.shard_map(
+        lambda xs: instance_norm_sharded(xs, "space"), mesh=mesh,
+        in_specs=P(None, "space", None, None, None),
+        out_specs=P(None, "space", None, None, None)))(x)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_unet_matches_dense_both_stages():
+    """The ASSEMBLED sharded U-Net (shard_map_unet): ppermute halo convs +
+    psum instance norms over 'space' reproduce the dense apply_unet on the
+    same crop, for both mask-shape stages (incl. the finetune 2x upscale
+    head with its 5^3 conv, halo=2)."""
+    from cfun_tpu.models.unet3d import apply_unet, init_unet
+    from cfun_tpu.parallel import make_mesh
+    from cfun_tpu.parallel.halo import shard_map_unet
+
+    params = init_unet(jax.random.PRNGKey(0), 1, 4, 4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 32, 1),
+                          jnp.float32)
+    mesh = make_mesh(8, space=2)
+    for stage in ("beginning", "finetune"):
+        dense = apply_unet(params, x, stage=stage)
+        sharded = jax.jit(
+            lambda p, c, s=stage: shard_map_unet(mesh, p, c, stage=s)
+        )(params, x)
+        assert sharded.shape == dense.shape
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_sharded_unet_rejects_misaligned_depth():
+    import pytest
+
+    from cfun_tpu.models.unet3d import init_unet
+    from cfun_tpu.parallel import make_mesh
+    from cfun_tpu.parallel.halo import shard_map_unet
+
+    params = init_unet(jax.random.PRNGKey(0), 1, 4, 4)
+    x = jnp.zeros((1, 32, 32, 32, 1), jnp.float32)
+    mesh = make_mesh(8, space=4)  # local D = 8, not divisible by 16
+    with pytest.raises(ValueError, match="local D"):
+        shard_map_unet(mesh, params, x, stage="beginning")
+
+
+def test_train_step_shard_unet_spatial_matches_gspmd():
+    """cfg.shard_unet_spatial swaps the mask branch to the explicit halo
+    shard_map inside the full mesh train step (vmap + grad + donation);
+    the loss must equal the GSPMD-propagated path."""
+    from cfun_tpu.config import tiny_config
+    from cfun_tpu.models import cfun
+    from cfun_tpu.ops.anchors import config_anchors
+    from cfun_tpu.train.loop import make_training_programs
+    from tests.test_train_step import _make_batch
+
+    losses = {}
+    for flag in (True, False):
+        cfg = tiny_config().replace(mask_pool_size=(32, 32, 32),
+                                    mask_shape_override=(32, 32, 32),
+                                    shard_unet_spatial=flag)
+        anchors = config_anchors(cfg)
+        params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+        prog = make_training_programs(cfg, anchors, (2, 2))
+        state = prog.init_state(params)
+        batches = [_make_batch(cfg, seed=i) for i in range(2)]
+        state, m = prog.step(state, prog.put_batch(batches),
+                             jax.random.PRNGKey(3))
+        losses[flag] = float(m["total_loss"])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
