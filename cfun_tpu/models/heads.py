@@ -65,11 +65,19 @@ def init_mask_head(key, cfg) -> nn.Params:
 
 def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
                     dropout_rate: float = 0.0, dropout_key=None,
-                    dtype=jnp.float32) -> jnp.ndarray:
+                    dtype=jnp.float32, fused: bool = False) -> jnp.ndarray:
     """crops: [N, D, H, W, 1] raw-image crops -> logits
     [N, D', H', W', num_classes] (D' = 2D in finetune), in the compute
     dtype (an f32 copy of a [4, 192^3, 8] stack is ~1 GB; consumers
-    upcast inside their reductions instead)."""
+    upcast inside their reductions instead).
+
+    ``fused=True`` (inference only, Config.pallas_unet): lower to the
+    fused Pallas conv+IN+LReLU graph (models/unet3d.py::apply_unet_fused).
+    """
+    if fused:
+        from cfun_tpu.models.unet3d import apply_unet_fused
+        return apply_unet_fused(params["unet"], crops, stage=stage,
+                                dtype=dtype)
     return apply_unet(params["unet"], crops, stage=stage,
                       dropout_rate=dropout_rate, dropout_key=dropout_key,
                       dtype=dtype)
