@@ -47,7 +47,7 @@ class Detector:
         # fast path: one packed int8 D2H fetch (4-bit labels) instead of
         # three array fetches -- the label volume dominates D2H bytes
         self._packed = cfg.fast_unmold and cfg.num_classes <= 16
-        if cfg.name == "lits":
+        if cfun.uses_overlap_paste(cfg):
             # device-side overlap-tile paste ships one molded label volume
             self._labels_shape = tuple(cfg.image_shape)
         else:

@@ -187,6 +187,17 @@ def refine_detections(rois: jnp.ndarray, roi_valid: jnp.ndarray,
 WIRE_INT8_SCALE = 25.4  # default Config.wire_int8_scale (+-5 sigma z-score)
 
 
+def uses_overlap_paste(cfg: Config) -> bool:
+    """Fast-path unmold variant: the device overlap-tile paste emits ONE
+    molded label volume.  Always for LiTS (reference overlap averaging,
+    LiTS_2017/utils.py:383-408); for other configs whenever more than one
+    instance can be detected (the reference heart path pins 1 instance,
+    heart_main.py:416 -- multi-instance heart has no reference counterpart
+    and adopts the LiTS averaging semantics, see PARITY.md)."""
+    return cfg.fast_unmold and (cfg.name == "lits"
+                                or cfg.detection_max_instances > 1)
+
+
 def overlap_paste_labels(mask_probs: jnp.ndarray, detections: jnp.ndarray,
                          valid: jnp.ndarray, cfg: Config) -> jnp.ndarray:
     """Device-side overlap-tile mask unmold (LiTS_2017/utils.py:383-408).
@@ -277,9 +288,9 @@ def infer_forward(params: nn.Params, image: jnp.ndarray, anchors: jnp.ndarray,
     crops = roi_align(image[0].astype(jnp.float32), det_boxes_norm,
                       tuple(cfg.mask_pool_size))
     mask_logits = apply_mask_head(params["mask"], crops, stage=cfg.stage,
-                                  dtype=_dtype(cfg))
+                                  dtype=_dtype(cfg), fused=cfg.pallas_unet)
     mask_probs = jax.nn.softmax(mask_logits, axis=-1)
-    if cfg.fast_unmold and cfg.name == "lits":
+    if uses_overlap_paste(cfg):
         # multi-instance overlap-tile unmold on device (molded coords)
         labels = overlap_paste_labels(mask_probs, detections, kept, cfg)
         return InferOut(detections, kept, None, labels)

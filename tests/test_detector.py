@@ -162,3 +162,73 @@ def test_pack_unpack_roundtrip_2bit():
     np.testing.assert_array_equal(det, det2)
     np.testing.assert_array_equal(valid, valid2)
     np.testing.assert_array_equal(labels, labels2)
+
+
+def test_heart_multi_instance_overlap_paste():
+    """detection_max_instances > 1 on the heart config takes the device
+    overlap-paste fast path (round-2 gap: it was LiTS-only).  Oracle: a
+    NumPy trilinear paste + hit-count average over 3 synthetic organs."""
+    import jax.numpy as jnp
+
+    from cfun_tpu.models.cfun import overlap_paste_labels, uses_overlap_paste
+
+    cfg = tiny_config(stage="beginning").replace(
+        detection_max_instances=3, fast_unmold=True,
+        wire_image_dtype="int8")
+    assert uses_overlap_paste(cfg)
+
+    rng = np.random.default_rng(3)
+    n, (md, mh, mw), c = 3, cfg.mask_pool_size, cfg.num_classes
+    probs = rng.uniform(size=(n, md, mh, mw, c)).astype(np.float32)
+    d, h, w = cfg.image_shape
+    dets = np.zeros((n, 8), np.float32)
+    dets[0, :6] = [2, 4, 4, 18, 36, 36]
+    dets[1, :6] = [8, 20, 20, 24, 52, 52]   # overlaps det 0
+    dets[2, :6] = [0, 0, 0, 8, 16, 16]
+    valid = np.array([True, True, False])   # det 2 must not contribute
+
+    labels = np.asarray(overlap_paste_labels(
+        jnp.asarray(probs), jnp.asarray(dets), jnp.asarray(valid), cfg))
+    assert labels.shape == (d, h, w)
+
+    # NumPy oracle (reference overlap semantics, LiTS_2017/utils.py:383-408)
+    acc = np.zeros((d, h, w, c), np.float32)
+    cnt = np.zeros((d, h, w), np.float32)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        z1, y1, x1, z2, y2, x2 = dets[i, :6].astype(int)
+        resized = np.asarray(jax.image.scale_and_translate(
+            jnp.asarray(probs[i]), (d, h, w, c), (0, 1, 2),
+            jnp.asarray([(z2 - z1) / md, (y2 - y1) / mh, (x2 - x1) / mw],
+                        jnp.float32),
+            jnp.asarray([z1, y1, x1], jnp.float32),
+            method="trilinear", antialias=False))
+        box = np.zeros((d, h, w), bool)
+        box[z1:z2, y1:y2, x1:x2] = True
+        acc[box] += resized[box]
+        cnt[box] += 1
+    expect = np.argmax(acc / (cnt[..., None] + 1e-6), axis=-1)
+    agree = (labels == expect).mean()
+    assert agree > 0.999, f"overlap paste agreement {agree:.4f}"
+
+
+def test_heart_multi_instance_detector_end_to_end():
+    """Full Detector with 3 allowed instances on the heart config: packed
+    wire carries the molded label volume (N>1 hardening of
+    pack_fast_output), output geometry is intact."""
+    cfg = tiny_config(stage="beginning").replace(
+        detection_max_instances=3, fast_unmold=True,
+        wire_image_dtype="int8")
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    det = Detector(cfg, params)
+    assert det._labels_shape == tuple(cfg.image_shape)
+
+    rng = np.random.default_rng(4)
+    image = rng.normal(size=(64, 64, 32)).astype(np.float32)
+    image[8:28, 8:28, 4:14] += 3.0
+    image[36:56, 36:56, 18:28] += 3.0
+    result = det.detect(image)
+    assert result["mask"].shape == (64, 64, 32)
+    assert set(np.unique(result["mask"])) <= set(range(cfg.num_classes))
+    assert result["rois"].shape[0] <= 3
