@@ -135,19 +135,21 @@ class SyntheticDataset(Dataset):
     (no MM-WHS/LiTS data exists in this environment; see BASELINE.md)."""
 
     def __init__(self, cfg, n: int = 4, seed: int = 0,
-                 host_shape=(48, 48, 24)):
+                 host_shape=(48, 48, 24), n_fg: int = 3):
         super().__init__()
         self._volumes = []
         h, w, d = host_shape
-        n_fg = min(cfg.num_classes - 1, 3)
+        n_fg = min(cfg.num_classes - 1, n_fg)
         for i in range(n):
             rng = np.random.default_rng(seed + i)
             labels = np.zeros((h, w, d), np.int32)
             cy, cx, cz = (rng.integers(h // 3, 2 * h // 3),
                           rng.integers(w // 3, 2 * w // 3), d // 2)
             for cls in range(1, n_fg + 1):
-                r = max(2, (h // 4) - 2 * (cls - 1))
-                rz = max(1, (d // 4) - (cls - 1))
+                # nested ellipsoids, shrinking with class index
+                frac = 1.0 - (cls - 1) / max(n_fg, 1) * 0.8
+                r = max(2.0, (h // 4) * frac)
+                rz = max(1.0, (d // 4) * frac)
                 yy, xx, zz = np.ogrid[:h, :w, :d]
                 ball = (((yy - cy) / r) ** 2 + ((xx - cx) / r) ** 2 +
                         ((zz - cz) / rz) ** 2) < 1.0

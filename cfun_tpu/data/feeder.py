@@ -229,6 +229,12 @@ class TrainFeeder:
                 image_out = molded[None, ..., None].astype(ml_dtypes.bfloat16)
             else:
                 image_out = molded[None, ..., None].astype(np.float32)
+        if cfg.train_wire_int8:
+            # halve the image upload again: clip +-5 (z-scored) / the HU
+            # window's [0, 1], quantize; the train step dequantizes on
+            # device (train_forward)
+            q = np.clip(image_out.astype(np.float32), -5.0, 5.0)
+            image_out = (q * cfg.wire_int8_scale).astype(np.int8)
         if cfg.num_classes <= 16 and w % 2 == 0:
             from cfun_tpu.train.step import pack_labels_w
             labels_out = pack_labels_w(labels)

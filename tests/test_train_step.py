@@ -176,3 +176,26 @@ def test_packed_labels_equivalent():
     np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
     for k in m1:
         np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6)
+
+
+def test_train_wire_int8_close_to_float():
+    """cfg.train_wire_int8: the int8-quantized image batch (device
+    dequantize in train_forward) gives losses close to the float wire
+    (noise ~0.011 sigma rms)."""
+    cfg = tiny_config()
+    anchors = jnp.asarray(config_anchors(cfg))
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    batch = _make_batch(cfg, seed=5)
+    key = jax.random.PRNGKey(9)
+
+    total_f, parts_f = train_forward(params, batch, anchors, cfg, key)
+
+    q = np.clip(np.asarray(batch.image, np.float32), -5.0, 5.0)
+    batch_q = batch._replace(
+        image=jnp.asarray((q * cfg.wire_int8_scale).astype(np.int8)))
+    cfg_q = cfg.replace(train_wire_int8=True)
+    total_q, parts_q = train_forward(params, batch_q, anchors, cfg_q, key)
+    np.testing.assert_allclose(float(total_q), float(total_f), rtol=0.05)
+    for k in parts_f:
+        np.testing.assert_allclose(float(parts_q[k]), float(parts_f[k]),
+                                   rtol=0.1, atol=5e-3)
