@@ -46,6 +46,20 @@ def main():
 
     cfg = heart_inference_config("beginning")
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    # trained weights give the detection tail realistic score
+    # distributions (random weights make proposals near-degenerate);
+    # fall back to random if the checkpoint is absent
+    weights_tag = "random"
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "heart_synth.npz")
+    if os.path.exists(ckpt):
+        from cfun_tpu.utils import checkpoint
+        try:
+            params, _, wmeta = checkpoint.load_any(ckpt, cfg, params,
+                                                   strict=False)
+            weights_tag = wmeta.get("tag", "heart_synth.npz")
+        except Exception as e:
+            weights_tag = f"random (load failed: {e!r:.80})"
     det = Detector(cfg, params)
 
     vol = synth_volume()
@@ -115,15 +129,66 @@ def main():
     except Exception as e:  # headline metric must still print
         finetune = {"finetune_error": repr(e)[:200]}
 
+    # MFU / roofline extras (VERDICT r2 #3): time the trunk and the mask
+    # U-Net as standalone programs and divide XLA's flop counts by the
+    # chip peak.  Segment times include the backend's per-call dispatch
+    # (notable through the tunnel); benchmarks/mfu.py has the full table.
+    mfu = {}
+    try:
+        import time as _t
+
+        import jax.numpy as jnp
+
+        from cfun_tpu.models.heads import apply_mask_head
+        from cfun_tpu.utils.roofline import (chip_generation, cost_of,
+                                             segment_report)
+
+        gen = chip_generation()
+        d, h, w = cfg.image_shape
+        img = jnp.zeros((1, d, h, w, 1), jnp.float32)
+
+        def trunk_fn(p, im):
+            out = cfun.apply_trunk(p, im, cfg)
+            return sum(jnp.sum(x.astype(jnp.float32))
+                       for x in jax.tree.leaves(out))
+
+        md, mh, mw = cfg.mask_pool_size
+        crop = jnp.zeros((1, md, mh, mw, 1), jnp.float32)
+
+        def unet_fn(p, c):
+            return jnp.sum(apply_mask_head(
+                p["mask"], c, stage=cfg.stage,
+                dtype=jnp.dtype(cfg.compute_dtype)).astype(jnp.float32))
+
+        for name, fn, args in (("trunk", trunk_fn, (params, img)),
+                               ("unet", unet_fn, (params, crop))):
+            jf = jax.jit(fn)
+            float(jf(*args))  # compile + warm
+            ts = []
+            for _ in range(5):
+                t0 = _t.perf_counter()
+                float(jf(*args))
+                ts.append(_t.perf_counter() - t0)
+            rep = segment_report(float(np.median(ts)), gen=gen,
+                                 **cost_of(fn, *args))
+            mfu[f"{name}_mfu"] = rep["mfu"]
+            mfu[f"{name}_ms"] = round(rep["seconds"] * 1e3, 1)
+            mfu[f"{name}_gflop"] = rep["gflop"]
+        mfu["chip"] = gen
+    except Exception as e:
+        mfu["mfu_error"] = repr(e)[:200]
+
     print(json.dumps({
         "metric": "whole_heart_infer_latency",
         "value": round(latency, 4),
         "unit": "s/volume",
         "vs_baseline": round(BASELINE_SECONDS / latency, 2),
         "baseline_s": BASELINE_SECONDS,
+        "weights": weights_tag,
         "breakdown": {k: round(v, 4) for k, v in det.last_timings.items()},
         **extras,
         **finetune,
+        **mfu,
         "device": str(jax.devices()[0]),
     }))
 

@@ -1,0 +1,100 @@
+"""Synthetic whole-heart training on the chip through the real train loop.
+
+Two jobs:
+1. produce `weights/heart_synth.npz` so bench.py's detection tail sees a
+   trained score distribution instead of random weights (VERDICT r2 #7);
+2. the int8-train-wire numerics A/B (VERDICT r2 #6): run the same seeded
+   schedule with --wire bf16 and --wire int8 and diff the loss curves.
+
+Run in the axon env (CLAUDE.md):
+    python benchmarks/train_synth.py --epochs 30 --wire bf16 \
+        --out weights/heart_synth.npz
+"""
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", default=30, type=int)
+    ap.add_argument("--steps", default=15, type=int,
+                    help="steps per epoch (45 in the real config)")
+    ap.add_argument("--wire", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--out", default=None,
+                    help="save the final params here (npz)")
+    ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--report", default=None,
+                    help="append {wire, losses[]} to this JSON file")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from cfun_tpu.config import heart_config
+    from cfun_tpu.data.datasets import SyntheticDataset
+    from cfun_tpu.train.loop import train_model
+    from cfun_tpu.utils import checkpoint
+
+    cfg = heart_config("beginning",
+                       steps_per_epoch=args.steps,
+                       train_wire_int8=(args.wire == "int8"))
+    train_ds = SyntheticDataset(cfg, n=8, seed=1000,
+                                host_shape=(144, 144, 96), n_fg=7)
+    val_ds = SyntheticDataset(cfg, n=2, seed=2000,
+                              host_shape=(144, 144, 96), n_fg=7)
+
+    tmp = tempfile.mkdtemp(prefix=f"synth_{args.wire}_")
+    try:
+        ckpt = train_model(cfg, train_ds, val_ds, log_dir=tmp,
+                           epochs=args.epochs, seed=args.seed,
+                           num_workers=2)
+        metrics = []
+        for f in sorted(glob.glob(
+                os.path.join(tmp, "**", "train_metrics.jsonl"),
+                recursive=True)):
+            with open(f) as fh:
+                metrics.extend(json.loads(line) for line in fh)
+        losses = [r["loss"] for r in metrics if "loss" in r]
+        print(f"wire={args.wire} losses: first {losses[0]:.3f} "
+              f"last {losses[-1]:.3f}")
+        if args.report:
+            rep = []
+            if os.path.exists(args.report):
+                with open(args.report) as fh:
+                    rep = json.load(fh)
+            rep.append({"wire": args.wire, "epochs": args.epochs,
+                        "steps": args.steps, "seed": args.seed,
+                        "losses": [round(v, 4) for v in losses]})
+            with open(args.report, "w") as fh:
+                json.dump(rep, fh, indent=1)
+        if args.out:
+            params, _, meta = checkpoint.load(ckpt, _template(cfg),
+                                              strict=False)
+            os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                        exist_ok=True)
+            # params only (float32), tagged for bench.py's weights line
+            checkpoint.save(args.out, params,
+                            epoch=int(meta.get("epoch", args.epochs)),
+                            meta={"tag": f"synthetic-{args.epochs}ep-"
+                                         f"{args.wire}"})
+            print(f"saved {args.out}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _template(cfg):
+    import jax
+
+    from cfun_tpu.models import cfun
+    return cfun.init_params(jax.random.PRNGKey(0), cfg)
+
+
+if __name__ == "__main__":
+    main()

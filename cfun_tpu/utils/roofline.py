@@ -1,0 +1,77 @@
+"""Roofline / MFU accounting for the device programs.
+
+The reference publishes no utilization numbers (its baseline is wall-clock
+on a 2019 12 GB GPU, reference README.md:45); "actually fast" on TPU means
+knowing the distance to the chip's roof.  FLOPs and HBM bytes come from
+XLA's own compiled cost analysis (``Compiled.cost_analysis()``), peaks
+from the chip generation table; MFU = flops / seconds / peak_flops and
+bandwidth utilization = bytes / seconds / peak_bw.
+
+Used by bench.py (JSON extras: trunk_mfu, unet_mfu, ...) and
+benchmarks/mfu.py (full per-segment table).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+
+# peak dense-matmul FLOP/s (compute dtype bf16) and HBM bandwidth, B/s.
+# v5e: 197 bf16 TFLOP/s, 819 GB/s, 16 GB HBM.  v5p: 459 TFLOP/s,
+# 2765 GB/s.  v4: 275 TFLOP/s, 1228 GB/s.
+PEAKS: Dict[str, Dict[str, float]] = {
+    "v5e": {"flops_bf16": 197e12, "hbm_bw": 8.19e11},
+    "v5p": {"flops_bf16": 459e12, "hbm_bw": 2.765e12},
+    "v4": {"flops_bf16": 275e12, "hbm_bw": 1.228e12},
+    "cpu": {"flops_bf16": float("nan"), "hbm_bw": float("nan")},
+}
+
+
+def chip_generation() -> str:
+    """Best-effort chip id: the axon env pin, else the device kind."""
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
+    if gen in PEAKS:
+        return gen
+    kind = ""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        pass
+    for g in PEAKS:
+        if g in kind:
+            return g
+    return "v5e" if "tpu" in kind else "cpu"
+
+
+def cost_of(fn: Callable, *args) -> Dict[str, float]:
+    """{'flops', 'bytes'} of the jitted fn from XLA's cost analysis."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    ca = ca or {}
+    return {
+        "flops": float(ca.get("flops", float("nan"))),
+        "bytes": float(ca.get("bytes accessed", float("nan"))),
+    }
+
+
+def segment_report(seconds: float, flops: float,
+                   bytes_accessed: float = float("nan"),
+                   gen: Optional[str] = None) -> Dict[str, float]:
+    """Roofline numbers for one timed segment."""
+    peaks = PEAKS[gen or chip_generation()]
+    tflops = flops / seconds / 1e12 if seconds > 0 else float("nan")
+    out = {
+        "seconds": round(seconds, 5),
+        "gflop": round(flops / 1e9, 2),
+        "tflops_per_s": round(tflops, 2),
+        "mfu": round(flops / seconds / peaks["flops_bf16"], 4),
+    }
+    if bytes_accessed == bytes_accessed:  # not NaN
+        out["gbytes"] = round(bytes_accessed / 1e9, 3)
+        out["hbm_bw_util"] = round(
+            bytes_accessed / seconds / peaks["hbm_bw"], 4)
+    return out
