@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--seed", default=0, type=int)
     ap.add_argument("--report", default=None,
                     help="append {wire, losses[]} to this JSON file")
+    ap.add_argument("--host-shape", default=(144, 144, 96), type=int,
+                    nargs=3, metavar=("H", "W", "D"),
+                    help="synthetic source volume shape; use 512 512 300 "
+                         "to measure the real-shape step wall (mold + "
+                         "upload at full wire size)")
     args = ap.parse_args()
 
     import numpy as np
@@ -45,10 +50,11 @@ def main():
     cfg = heart_config("beginning",
                        steps_per_epoch=args.steps,
                        train_wire_int8=(args.wire == "int8"))
+    host_shape = tuple(args.host_shape)
     train_ds = SyntheticDataset(cfg, n=8, seed=1000,
-                                host_shape=(144, 144, 96), n_fg=7)
+                                host_shape=host_shape, n_fg=7)
     val_ds = SyntheticDataset(cfg, n=2, seed=2000,
-                              host_shape=(144, 144, 96), n_fg=7)
+                              host_shape=host_shape, n_fg=7)
 
     tmp = tempfile.mkdtemp(prefix=f"synth_{args.wire}_")
     try:
@@ -69,9 +75,13 @@ def main():
             if os.path.exists(args.report):
                 with open(args.report) as fh:
                     rep = json.load(fh)
+            epoch_s = [r["epoch_s"] for r in metrics if "epoch_s" in r]
             rep.append({"wire": args.wire, "epochs": args.epochs,
                         "steps": args.steps, "seed": args.seed,
-                        "losses": [round(v, 4) for v in losses]})
+                        "host_shape": list(host_shape),
+                        "losses": [round(v, 4) for v in losses],
+                        "s_per_step": [round(s / args.steps, 3)
+                                       for s in epoch_s]})
             with open(args.report, "w") as fh:
                 json.dump(rep, fh, indent=1)
         if args.out:
@@ -79,11 +89,13 @@ def main():
                                               strict=False)
             os.makedirs(os.path.dirname(os.path.abspath(args.out)),
                         exist_ok=True)
-            # params only (float32), tagged for bench.py's weights line
+            # params only, f16-on-disk + compressed so the file is
+            # committable (load() casts back to the f32 template)
             checkpoint.save(args.out, params,
                             epoch=int(meta.get("epoch", args.epochs)),
                             meta={"tag": f"synthetic-{args.epochs}ep-"
-                                         f"{args.wire}"})
+                                         f"{args.wire}"},
+                            store_dtype="float16", compress=True)
             print(f"saved {args.out}")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

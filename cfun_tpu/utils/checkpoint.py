@@ -33,8 +33,18 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
 
 
 def save(path: str, params, epoch: int = 0, step: int = 0,
-         opt_state: Any = None, meta: Optional[Dict] = None) -> None:
+         opt_state: Any = None, meta: Optional[Dict] = None,
+         store_dtype: Any = None, compress: bool = False) -> None:
+    """``store_dtype`` (e.g. np.float16) downcasts float leaves on disk;
+    ``load`` casts back to the template dtype.  ``compress`` zips the npz.
+    Both default off (training checkpoints are exact); the committed bench
+    weights use f16+compress (165 -> 75 MB for the heart tree)."""
     arrays = {f"params/{k}": v for k, v in _flatten(params).items()}
+    if store_dtype is not None:
+        sd = np.dtype(store_dtype)
+        arrays = {k: (v.astype(sd)
+                      if np.issubdtype(v.dtype, np.floating) else v)
+                  for k, v in arrays.items()}
     if opt_state is not None:
         opt_leaves = jax.tree_util.tree_leaves(opt_state)
         for i, leaf in enumerate(opt_leaves):
@@ -44,7 +54,8 @@ def save(path: str, params, epoch: int = 0, step: int = 0,
     arrays["__meta__"] = np.frombuffer(
         json.dumps(info).encode(), dtype=np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+    writer = np.savez_compressed if compress else np.savez
+    writer(path if path.endswith(".npz") else path + ".npz", **arrays)
 
 
 def _is_native_npz(path: str) -> bool:
@@ -153,7 +164,10 @@ def load(path: str, params_template, opt_template: Any = None,
             key = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
                            for q in p)
             if key in stored:
-                arr = stored[key]
+                # adopt the template leaf dtype (checkpoints may store
+                # float leaves downcast, see save(store_dtype=...))
+                arr = np.asarray(stored[key],
+                                 dtype=np.asarray(leaf).dtype)
                 if arr.shape != np.shape(leaf):
                     if strict:
                         raise ValueError(

@@ -183,6 +183,24 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_checkpoint_f16_store_roundtrip(tmp_path):
+    """save(store_dtype=f16, compress=True) -- the committed bench-weights
+    format -- loads back AS the template dtype (f32) within f16 precision."""
+    cfg = tiny_config()
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt16.npz")
+    checkpoint.save(path, params, epoch=3, store_dtype="float16",
+                    compress=True)
+    zeroed = jax.tree.map(lambda x: np.zeros_like(x), params)
+    restored, _, meta = checkpoint.load(path, zeroed)
+    assert meta["epoch"] == 3
+    for x, y in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        assert np.asarray(y).dtype == np.asarray(x).dtype
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_checkpoint_optimizer_state_roundtrip(tmp_path):
     from cfun_tpu.ops.anchors import config_anchors
     from cfun_tpu.train.step import make_train_step
