@@ -60,6 +60,9 @@ def main():
             weights_tag = wmeta.get("tag", "heart_synth.npz")
         except Exception as e:
             weights_tag = f"random (load failed: {e!r:.80})"
+    # pin on device once: loaded checkpoints are host numpy, and host
+    # leaves re-ship the whole tree on every timed call below
+    params = jax.device_put(params)
     det = Detector(cfg, params)
 
     vol = synth_volume()

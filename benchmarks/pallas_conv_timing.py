@@ -78,7 +78,8 @@ def main():
             def run(xx, ww):
                 def body(carry, _):
                     y, s = one(carry, ww)
-                    return y, jnp.sum(s)
+                    # conv output is bf16; keep the scan carry f32-stable
+                    return y.astype(jnp.float32), jnp.sum(s)
                 out, ss = jax.lax.scan(body, xx, None, length=REPS)
                 return jnp.sum(out) + jnp.sum(ss)
             return run

@@ -179,15 +179,27 @@ class TrainFeeder:
             # heart path: mold first (matches dataset __getitem__,
             # model.py:1211-1235), rotate after resize (load_image_gt)
             from cfun_tpu import native
+            img2d = image[..., 0] if image.ndim == 4 else image
             if cfg.compute_dtype == "bfloat16":
-                # one fused native pass: resize + rotate + z-score + bf16
-                molded_bf16 = native.heart_train_mold(
-                    image[..., 0] if image.ndim == 4 else image,
-                    cfg.image_shape, angle)
-                if molded_bf16 is not None:
-                    labels = native.heart_train_labels(
-                        mask, cfg.image_shape, angle)
-                    image_out = molded_bf16[None, ..., None]
+                if cfg.train_wire_int8:
+                    # fused native pass straight to the int8 wire (the
+                    # numpy quantize fallback below costs 3 extra
+                    # full-volume passes on a 1-core host)
+                    molded_q8 = native.heart_train_mold_q8(
+                        img2d, cfg.image_shape, angle, 5.0,
+                        cfg.wire_int8_scale)
+                    if molded_q8 is not None:
+                        labels = native.heart_train_labels(
+                            mask, cfg.image_shape, angle)
+                        image_out = molded_q8[None, ..., None]
+                if image_out is None:
+                    # one fused native pass: resize+rotate+z-score+bf16
+                    molded_bf16 = native.heart_train_mold(
+                        img2d, cfg.image_shape, angle)
+                    if molded_bf16 is not None:
+                        labels = native.heart_train_labels(
+                            mask, cfg.image_shape, angle)
+                        image_out = molded_bf16[None, ..., None]
             if image_out is None:
                 if native.available():
                     molded = native.mold_resize(
@@ -229,7 +241,7 @@ class TrainFeeder:
                 image_out = molded[None, ..., None].astype(ml_dtypes.bfloat16)
             else:
                 image_out = molded[None, ..., None].astype(np.float32)
-        if cfg.train_wire_int8:
+        if cfg.train_wire_int8 and image_out.dtype != np.int8:
             # halve the image upload again: clip +-5 (z-scored) / the HU
             # window's [0, 1], quantize; the train step dequantizes on
             # device (train_forward)

@@ -40,7 +40,12 @@ class Detector:
 
     def __init__(self, cfg: Config, params, donate: bool = False):
         self.cfg = cfg
-        self.params = params
+        # pin params on device ONCE: checkpoint.load returns host numpy
+        # leaves, and leaving them host-side makes every detect() re-ship
+        # the whole tree (165 MB f32 for the heart model -- ~6 s through
+        # the tunnel, observed as a 10x latency regression when bench.py
+        # first loaded trained weights)
+        self.params = jax.device_put(params)
         self.anchors = jnp.asarray(config_anchors(cfg))
         self._infer = jax.jit(
             functools.partial(cfun.infer_forward, cfg=cfg))

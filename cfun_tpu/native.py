@@ -99,6 +99,9 @@ def _bind_symbols(lib) -> None:
     lib.heart_train_labels_i32.argtypes = [i32p] + [ctypes.c_int] * 3 + \
         [i32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
     lib.heart_train_labels_i32.restype = None
+    lib.heart_train_mold_q8.argtypes = [f32p] + [ctypes.c_int] * 3 + \
+        [i8p, f32p] + [ctypes.c_int] * 3 + [ctypes.c_float] * 3
+    lib.heart_train_mold_q8.restype = None
 
 
 def available() -> bool:
@@ -272,6 +275,28 @@ def heart_train_mold(src_hwd: np.ndarray, out_shape_dhw, angle_deg: float):
     lib.heart_train_mold_bf16(src, h0, w0, d0, dst, tmp, dt, ht, wt,
                               float(angle_deg))
     return dst.view(ml_dtypes.bfloat16)
+
+
+def heart_train_mold_q8(src_hwd: np.ndarray, out_shape_dhw,
+                        angle_deg: float, clip_sigma: float,
+                        scale: float) -> Optional[np.ndarray]:
+    """int8-wire variant of :func:`heart_train_mold`
+    (cfg.train_wire_int8): same fused resize + rotate + z-score, emitted
+    as ``astype(int8)`` of ``clip(bf16(z), +-clip_sigma) * scale`` --
+    bit-identical to quantizing the bf16 volume the feeder would
+    otherwise ship.  Returns int8 [Dt, Ht, Wt] or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src_hwd, np.float32)
+    dt, ht, wt = out_shape_dhw
+    dst = np.empty((dt, ht, wt), np.int8)
+    tmp = np.empty((dt, ht, wt), np.float32)
+    h0, w0, d0 = src.shape
+    lib.heart_train_mold_q8(src, h0, w0, d0, dst, tmp, dt, ht, wt,
+                            float(angle_deg), float(clip_sigma),
+                            float(scale))
+    return dst
 
 
 def heart_train_labels(mask_hwd: np.ndarray, out_shape_dhw,

@@ -46,7 +46,8 @@ def chip_generation() -> str:
 
 
 def cost_of(fn: Callable, *args) -> Dict[str, float]:
-    """{'flops', 'bytes'} of the jitted fn from XLA's cost analysis."""
+    """{'flops', 'bytes_accessed'} of the jitted fn from XLA's cost
+    analysis; splats straight into ``segment_report``."""
     compiled = jax.jit(fn).lower(*args).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
@@ -54,7 +55,7 @@ def cost_of(fn: Callable, *args) -> Dict[str, float]:
     ca = ca or {}
     return {
         "flops": float(ca.get("flops", float("nan"))),
-        "bytes": float(ca.get("bytes accessed", float("nan"))),
+        "bytes_accessed": float(ca.get("bytes accessed", float("nan"))),
     }
 
 

@@ -386,15 +386,17 @@ inline uint16_t to_bf16(float v) {
 
 }  // namespace
 
-// Fused heart train mold: trilinear resize + nearest (H, W) rotation +
-// whole-volume z-score, emitted as bf16 in device [D, H, W] layout --
-// one pass over the source plus one scale pass, replacing the feeder's
-// resize / rotate / normalize / astype chain (4 full-volume passes).
-// Rotation fill voxels are 0 *before* the z-score, matching the
-// reference order (augment, then mold_image; model.py:1555 + 1902-1904).
-void heart_train_mold_bf16(const float* src, int h0, int w0, int d0,
-                           uint16_t* dst, float* tmp, int dt, int ht,
-                           int wt, float angle_deg) {
+namespace {
+
+// Shared body of the fused heart train molds: trilinear resize + nearest
+// (H, W) rotation into tmp ([D, H, W] device layout), returning the
+// z-score (mean, 1/std).  Rotation fill voxels are 0 *before* the
+// z-score, matching the reference order (augment, then mold_image;
+// model.py:1555 + 1902-1904).
+void heart_train_mold_core(const float* src, int h0, int w0, int d0,
+                           float* tmp, int dt, int ht, int wt,
+                           float angle_deg, float* out_mean,
+                           float* out_inv) {
   std::vector<int> ry(static_cast<size_t>(ht) * wt),
       rx(static_cast<size_t>(ht) * wt);
   rotate_maps(ht, wt, angle_deg, ry.data(), rx.data());
@@ -455,10 +457,46 @@ void heart_train_mold_bf16(const float* src, int h0, int w0, int d0,
   const double mean = sum / n;
   double var = sumsq / n - mean * mean;
   if (var < 1e-12) var = 1.0;
-  const float inv = static_cast<float>(1.0 / std::sqrt(var));
-  const float m = static_cast<float>(mean);
+  *out_inv = static_cast<float>(1.0 / std::sqrt(var));
+  *out_mean = static_cast<float>(mean);
+}
+
+}  // namespace
+
+// bf16 emitter: one scale pass over tmp, replacing the feeder's
+// resize / rotate / normalize / astype chain (4 full-volume passes).
+void heart_train_mold_bf16(const float* src, int h0, int w0, int d0,
+                           uint16_t* dst, float* tmp, int dt, int ht,
+                           int wt, float angle_deg) {
+  float m, inv;
+  heart_train_mold_core(src, h0, w0, d0, tmp, dt, ht, wt, angle_deg, &m,
+                        &inv);
+  const int64_t n = static_cast<int64_t>(dt) * ht * wt;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) dst[i] = to_bf16((tmp[i] - m) * inv);
+}
+
+// int8 wire emitter (cfg.train_wire_int8): bit-identical to the Python
+// chain bf16(z) -> clip(+-clip_sigma) -> *scale -> astype(int8) -- the
+// z-scored voxel is first bf16-rounded (the feeder quantizes the bf16
+// image it would otherwise ship), then clipped, scaled in f32 and
+// C-truncated toward zero exactly like numpy astype.
+void heart_train_mold_q8(const float* src, int h0, int w0, int d0,
+                         int8_t* dst, float* tmp, int dt, int ht, int wt,
+                         float angle_deg, float clip_sigma, float scale) {
+  float m, inv;
+  heart_train_mold_core(src, h0, w0, d0, tmp, dt, ht, wt, angle_deg, &m,
+                        &inv);
+  const int64_t n = static_cast<int64_t>(dt) * ht * wt;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const uint32_t b = static_cast<uint32_t>(to_bf16((tmp[i] - m) * inv))
+                       << 16;
+    float v;
+    std::memcpy(&v, &b, 4);
+    v = std::min(std::max(v, -clip_sigma), clip_sigma);
+    dst[i] = static_cast<int8_t>(v * scale);
+  }
 }
 
 // Label companion: nearest resize + the same nearest (H, W) rotation,

@@ -287,3 +287,13 @@ def test_fused_heart_train_mold_matches_chain():
         np.testing.assert_allclose(got_img.astype(np.float32),
                                    ref_img.astype(np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+        # int8-wire emitter: bit-identical to quantizing the kernel's own
+        # bf16 output the way the feeder fallback does (clip +-5, *scale,
+        # astype truncation)
+        scale = cfg.wire_int8_scale
+        want_q8 = (np.clip(got_img.astype(np.float32), -5.0, 5.0)
+                   * scale).astype(np.int8)
+        got_q8 = native.heart_train_mold_q8(img, cfg.image_shape, angle,
+                                            5.0, scale)
+        np.testing.assert_array_equal(got_q8, want_q8)

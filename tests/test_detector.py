@@ -29,6 +29,18 @@ def test_detector_end_to_end():
     np.testing.assert_array_equal(result["mask"], result2["mask"])
 
 
+def test_detector_pins_host_params_on_device():
+    """Detector must device_put host-numpy params once at construction --
+    host leaves would otherwise re-ship the whole tree on every detect()
+    (observed as a 10x latency regression with loaded checkpoints)."""
+    cfg = tiny_config(stage="beginning")
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    host_params = jax.tree.map(lambda x: np.asarray(x), params)
+    det = Detector(cfg, host_params)
+    for leaf in jax.tree_util.tree_leaves(det.params):
+        assert isinstance(leaf, jax.Array)
+
+
 def test_detector_fast_wire_path_close_to_exact():
     """int8 upload + device-argmax label download vs the exact probs path:
     same shapes, near-identical label volumes."""
