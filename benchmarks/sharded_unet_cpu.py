@@ -34,11 +34,16 @@ from cfun_tpu.parallel import make_mesh  # noqa: E402
 from cfun_tpu.parallel.halo import shard_map_unet  # noqa: E402
 
 
-def main(d=32, h=64, w=64, base=4, stage="finetune", space=2):
+def main(d=32, h=32, w=32, base=2, stage="finetune", space=2):
+    # default shape slimmed for the 1-core host: the grad of the 8-way
+    # shard_map U-Net at (32,64,64,base=4) compiled >30 min there; the
+    # partitioner comparison is shape-independent enough at (32,32,32)
     mesh = make_mesh(8, space=space)
     params = init_unet(jax.random.PRNGKey(0), 1, 4, base)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, d, h, w, 1),
                           jnp.float32)
+    print(f"mesh {dict(mesh.shape)} shape=({d},{h},{w}) base={base}",
+          flush=True)
     xspec = NamedSharding(mesh, P(None, "space"))
     x = jax.device_put(x, xspec)
     params = jax.device_put(params, NamedSharding(mesh, P()))
@@ -54,6 +59,7 @@ def main(d=32, h=64, w=64, base=4, stage="finetune", space=2):
 
     results = {}
     for name, fn in (("gspmd", loss_gspmd), ("halo_shard_map", loss_halo)):
+        print(f"compiling {name} ...", flush=True)
         g = jax.jit(jax.grad(fn))
         t0 = time.perf_counter()
         out = g(params, x)

@@ -82,3 +82,31 @@ def test_per_host_feeder_sharding_partitions_global_plan():
     f.close()
     assert ids2 == seen[0][0]
     np.testing.assert_array_equal(seeds2, seen[0][1])
+
+
+def test_mesh_step_grad_accum_interplay():
+    """MultiSteps + donated replicated state on the mesh: params stay
+    exactly frozen mid-accumulation and move after the k-th micro-step."""
+    cfg = tiny_config().replace(grad_accum_steps=2)
+    mesh = make_mesh(2, space=1)
+    anchors = config_anchors(cfg)
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+
+    init_state, step = make_parallel_train_step(cfg, anchors, mesh)
+    state = init_state(params)
+    batch1 = stack_batches([_make_batch(cfg, seed=0), _make_batch(cfg, seed=1)])
+    batch2 = stack_batches([_make_batch(cfg, seed=2), _make_batch(cfg, seed=3)])
+
+    state, metrics = step(state, batch1, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["total_loss"]))
+    for leaf, ref in zip(jax.tree_util.tree_leaves(state.params),
+                         jax.tree_util.tree_leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(leaf), ref)
+
+    state, metrics = step(state, batch2, jax.random.PRNGKey(6))
+    moved = any(
+        float(np.abs(np.asarray(leaf) - ref).max()) > 0
+        for leaf, ref in zip(jax.tree_util.tree_leaves(state.params),
+                             jax.tree_util.tree_leaves(p0)))
+    assert moved and np.isfinite(float(metrics["total_loss"]))

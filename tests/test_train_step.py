@@ -199,3 +199,49 @@ def test_train_wire_int8_close_to_float():
     for k in parts_f:
         np.testing.assert_allclose(float(parts_q[k]), float(parts_f[k]),
                                    rtol=0.1, atol=5e-3)
+
+
+def test_grad_accum_matches_mean_gradient_step():
+    """cfg.grad_accum_steps=2 (the reference's batch emulation,
+    model.py:1642-1645, via optax.MultiSteps): params must stay EXACTLY
+    frozen mid-accumulation, and the post-accumulation params must equal
+    one accum=1 update applied to the mean of the two micro-gradients --
+    the drift-prone interplay VERDICT r2 called out."""
+    from cfun_tpu.train.step import apply_update
+
+    cfg2 = tiny_config().replace(grad_accum_steps=2)
+    cfg1 = tiny_config().replace(grad_accum_steps=1)
+    anchors = config_anchors(cfg2)
+    params = cfun.init_params(jax.random.PRNGKey(0), cfg2)
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+
+    init2, step2 = make_train_step(cfg2, anchors)
+    state = init2(params)
+    batch_a, batch_b = _make_batch(cfg2, seed=0), _make_batch(cfg2, seed=3)
+    key_a, key_b = jax.random.PRNGKey(11), jax.random.PRNGKey(12)
+
+    state, _ = step2(state, batch_a, key_a)
+    for leaf, ref in zip(jax.tree_util.tree_leaves(state.params),
+                         jax.tree_util.tree_leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(leaf), ref)
+
+    state, _ = step2(state, batch_b, key_b)
+
+    # manual path: both micro-gradients at the ORIGINAL params (no update
+    # happened in between), averaged, applied through the accum=1 tail
+    grad_fn = jax.jit(jax.value_and_grad(train_forward, has_aux=True),
+                      static_argnames=("cfg",))
+    anchors_j = jnp.asarray(anchors)
+    (total, parts), g_a = grad_fn(p0, batch_a, anchors_j, cfg2, key_a)
+    _, g_b = grad_fn(p0, batch_b, anchors_j, cfg2, key_b)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2.0, g_a, g_b)
+
+    init1, _ = make_train_step(cfg1, anchors)
+    ref_state, _ = jax.jit(
+        apply_update, static_argnames=("cfg",))(
+            cfg1, init1(p0), g_mean, total, parts)
+
+    for got, want in zip(jax.tree_util.tree_leaves(state.params),
+                         jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-7)
