@@ -60,8 +60,9 @@ def main():
             weights_tag = wmeta.get("tag", "heart_synth.npz")
         except Exception as e:
             weights_tag = f"random (load failed: {e!r:.80})"
-    # pin on device once: loaded checkpoints are host numpy, and host
-    # leaves re-ship the whole tree on every timed call below
+    # pin on device once for the MFU segment timers below (Detector pins
+    # its own copy): loaded checkpoints are host numpy, and host leaves
+    # re-ship the whole tree on every timed call
     params = jax.device_put(params)
     det = Detector(cfg, params)
 
@@ -143,7 +144,8 @@ def main():
         import jax.numpy as jnp
 
         from cfun_tpu.models.heads import apply_mask_head
-        from cfun_tpu.utils.roofline import (chip_generation, cost_of,
+        from cfun_tpu.utils.roofline import (chip_generation,
+                                             compile_with_cost,
                                              segment_report)
 
         gen = chip_generation()
@@ -165,15 +167,14 @@ def main():
 
         for name, fn, args in (("trunk", trunk_fn, (params, img)),
                                ("unet", unet_fn, (params, crop))):
-            jf = jax.jit(fn)
-            float(jf(*args))  # compile + warm
+            jf, cost = compile_with_cost(fn, *args)  # ONE compile
+            float(jf(*args))  # warm
             ts = []
             for _ in range(5):
                 t0 = _t.perf_counter()
                 float(jf(*args))
                 ts.append(_t.perf_counter() - t0)
-            rep = segment_report(float(np.median(ts)), gen=gen,
-                                 **cost_of(fn, *args))
+            rep = segment_report(float(np.median(ts)), gen=gen, **cost)
             mfu[f"{name}_mfu"] = rep["mfu"]
             mfu[f"{name}_ms"] = round(rep["seconds"] * 1e3, 1)
             mfu[f"{name}_gflop"] = rep["gflop"]

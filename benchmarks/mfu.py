@@ -46,8 +46,8 @@ def measure_family(family: str, reps: int = 5):
     from cfun_tpu.models import cfun
     from cfun_tpu.models.heads import apply_mask_head
     from cfun_tpu.ops.anchors import config_anchors
-    from cfun_tpu.utils.roofline import chip_generation, cost_of, \
-        segment_report
+    from cfun_tpu.utils.roofline import chip_generation, \
+        compile_with_cost, segment_report
 
     if family == "heart":
         cfg = heart_inference_config("beginning")
@@ -69,9 +69,9 @@ def measure_family(family: str, reps: int = 5):
     def trunk_fn(p, img):
         return _tree_scalar(cfun.apply_trunk(p, img, cfg))
 
-    sec = _time(jax.jit(trunk_fn), params, image, reps=reps)
-    rows["trunk"] = segment_report(sec, gen=gen, **cost_of(
-        trunk_fn, params, image))
+    jf, cost = compile_with_cost(trunk_fn, params, image)
+    sec = _time(jf, params, image, reps=reps)
+    rows["trunk"] = segment_report(sec, gen=gen, **cost)
 
     # ---- proposal tail: top-k + deltas + NMS on precomputed rpn outputs
     trunk_out = jax.jit(lambda p, i: cfun.apply_trunk(p, i, cfg))(
@@ -84,9 +84,9 @@ def measure_family(family: str, reps: int = 5):
                                     cfg.post_nms_rois_inference)
         return jnp.sum(props) + jnp.sum(valid)
 
-    sec = _time(jax.jit(propose_fn), logits, deltas, anchors, reps=reps)
-    rows["propose_nms"] = segment_report(sec, gen=gen, **cost_of(
-        propose_fn, logits, deltas, anchors))
+    jf, cost = compile_with_cost(propose_fn, logits, deltas, anchors)
+    sec = _time(jf, logits, deltas, anchors, reps=reps)
+    rows["propose_nms"] = segment_report(sec, gen=gen, **cost)
 
     # ---- mask U-Net on the stage's crop batch
     md, mh, mw = cfg.mask_pool_size
@@ -99,9 +99,9 @@ def measure_family(family: str, reps: int = 5):
             p["mask"], c, stage=cfg.stage,
             dtype=jnp.dtype(cfg.compute_dtype)).astype(jnp.float32))
 
-    sec = _time(jax.jit(unet_fn), params, crops, reps=reps)
-    rows["unet"] = segment_report(sec, gen=gen, **cost_of(
-        unet_fn, params, crops))
+    jf, unet_cost = compile_with_cost(unet_fn, params, crops)
+    sec = _time(jf, params, crops, reps=reps)
+    rows["unet"] = segment_report(sec, gen=gen, **unet_cost)
 
     # same math, Pallas-fused lowering; FLOP basis = the XLA graph's count
     def unet_fused_fn(p, c):
@@ -111,9 +111,10 @@ def measure_family(family: str, reps: int = 5):
             fused=True).astype(jnp.float32))
 
     try:
-        sec = _time(jax.jit(unet_fused_fn), params, crops, reps=reps)
+        jf, _ = compile_with_cost(unet_fused_fn, params, crops)
+        sec = _time(jf, params, crops, reps=reps)
         rows["unet_pallas_fused"] = segment_report(
-            sec, gen=gen, **cost_of(unet_fn, params, crops))
+            sec, gen=gen, **unet_cost)
     except Exception as e:
         rows["unet_pallas_fused"] = {"error": repr(e)[:200]}
 
@@ -121,10 +122,10 @@ def measure_family(family: str, reps: int = 5):
     def infer_fn(p, img, an, win):
         return _tree_scalar(cfun.infer_forward(p, img, an, win, cfg=cfg))
 
-    sec = _time(jax.jit(infer_fn), params, image, anchors, window,
-                reps=reps)
-    rows["infer_graph"] = segment_report(sec, gen=gen, **cost_of(
-        infer_fn, params, image, anchors, window))
+    jf, cost = compile_with_cost(infer_fn, params, image, anchors,
+                                 window)
+    sec = _time(jf, params, image, anchors, window, reps=reps)
+    rows["infer_graph"] = segment_report(sec, gen=gen, **cost)
 
     # ---- train step (undonated copy of the product step's math)
     if family == "heart":
@@ -151,11 +152,11 @@ def measure_family(family: str, reps: int = 5):
             return total + _tree_scalar(grads) * 0.0
 
         key = jax.random.PRNGKey(0)
-        sec = _time(jax.jit(train_loss_and_grads), tparams, batch,
-                    jnp.asarray(tanchors), key, reps=max(2, reps // 2))
-        rows["train_fwd_bwd"] = segment_report(sec, gen=gen, **cost_of(
-            train_loss_and_grads, tparams, batch, jnp.asarray(tanchors),
-            key))
+        jf, cost = compile_with_cost(train_loss_and_grads, tparams,
+                                     batch, jnp.asarray(tanchors), key)
+        sec = _time(jf, tparams, batch, jnp.asarray(tanchors), key,
+                    reps=max(2, reps // 2))
+        rows["train_fwd_bwd"] = segment_report(sec, gen=gen, **cost)
 
     return {"family": family, "chip": gen,
             "device": str(jax.devices()[0]), "segments": rows}
@@ -179,11 +180,14 @@ def main():
             if "error" in r:
                 print(f"{name:18} ERROR {r['error']}")
                 continue
-            bw = f" bw {r['hbm_bw_util']*100:5.1f}%" if "hbm_bw_util" in r \
-                else ""
+            bw = (f" bw {r['hbm_bw_util']*100:5.1f}%"
+                  if r.get("hbm_bw_util") is not None else "")
+            mfu_s = (f"{r['mfu']*100:5.2f}%" if r.get("mfu") is not None
+                     else "  n/a")
             print(f"{name:18} {r['seconds']*1e3:8.1f} ms "
-                  f"{r['gflop']:10.1f} GF {r['tflops_per_s']:7.2f} TF/s "
-                  f"mfu {r['mfu']*100:5.2f}%{bw}")
+                  f"{r['gflop'] or 0:10.1f} GF "
+                  f"{r['tflops_per_s'] or 0:7.2f} TF/s "
+                  f"mfu {mfu_s}{bw}")
         print(f"-> {out}")
 
 

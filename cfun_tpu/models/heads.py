@@ -76,6 +76,14 @@ def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
     """
     if fused:
         from cfun_tpu.models.unet3d import apply_unet_fused
+        # the fused kernel computes in bf16 and has no dropout path --
+        # reject rather than silently change semantics
+        if dropout_rate and dropout_key is not None:
+            raise ValueError("fused=True has no dropout path (inference "
+                             "only); got dropout_rate > 0 with a key")
+        if jnp.dtype(dtype) != jnp.bfloat16:
+            raise ValueError(f"fused=True computes in bfloat16; config "
+                             f"compute dtype is {jnp.dtype(dtype)}")
         return apply_unet_fused(params["unet"], crops, stage=stage,
                                 dtype=dtype)
     return apply_unet(params["unet"], crops, stage=stage,

@@ -84,7 +84,13 @@ def make_training_programs(cfg: Config, anchors,
     driver dryrun and the CLIs' ``--mesh`` flag both land here, so the
     product path and the validation path are the same code.
     """
-    cache_key = (cfg, mesh_spec)
+    # the compiled step closes over the anchors array, so the cache key
+    # must distinguish anchor layouts (tests/benchmarks pass custom ones;
+    # a (cfg, mesh) hit with different anchors would silently train
+    # against the wrong geometry)
+    anchors_np = np.asarray(anchors)
+    cache_key = (cfg, mesh_spec, anchors_np.shape,
+                 hash(anchors_np.tobytes()))
     if cache_key in _PROGRAMS_CACHE:
         return _PROGRAMS_CACHE[cache_key]
     prog = _build_training_programs(cfg, anchors, mesh_spec)
@@ -256,8 +262,10 @@ def train_model(cfg: Config, train_dataset, val_dataset,
         # never mask the loop's own exception with a writer failure
         checkpoint.flush(raise_errors=False)
 
+    meta = {"name": cfg.name, "stage": cfg.stage}
+    if total_sum == total_sum:  # no epoch ran (resume at target): no loss
+        meta["loss"] = total_sum
     checkpoint.save(ckpt_path, state.params, epoch=epochs,
                     step=int(state.step), opt_state=state.opt_state,
-                    meta={"name": cfg.name, "stage": cfg.stage,
-                          "loss": total_sum})
+                    meta=meta)
     return ckpt_path + ".npz"

@@ -165,20 +165,24 @@ def load(path: str, params_template, opt_template: Any = None,
                            for q in p)
             if key in stored:
                 # adopt the template leaf dtype (checkpoints may store
-                # float leaves downcast, see save(store_dtype=...))
+                # float leaves downcast, see save(store_dtype=...)).
+                # Read dtype/shape from the leaf WITHOUT np.asarray --
+                # templates are often live device arrays (resume path),
+                # and asarray would fetch every leaf to host
                 arr = np.asarray(stored[key],
-                                 dtype=np.asarray(leaf).dtype)
+                                 dtype=getattr(leaf, "dtype", None)
+                                 or np.asarray(leaf).dtype)
                 if arr.shape != np.shape(leaf):
                     if strict:
                         raise ValueError(
                             f"shape mismatch for {key}: {arr.shape} vs "
                             f"{np.shape(leaf)}")
-                    arr = np.asarray(leaf)
+                    arr = leaf  # keep the template value (possibly device)
                 new_leaves.append(arr)
             else:
                 if strict:
                     raise KeyError(f"missing checkpoint key: {key}")
-                new_leaves.append(np.asarray(leaf))
+                new_leaves.append(leaf)
         params = jax.tree_util.tree_unflatten(treedef, new_leaves)
 
         opt_state = opt_template

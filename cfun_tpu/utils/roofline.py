@@ -45,18 +45,25 @@ def chip_generation() -> str:
     return "v5e" if "tpu" in kind else "cpu"
 
 
-def cost_of(fn: Callable, *args) -> Dict[str, float]:
-    """{'flops', 'bytes_accessed'} of the jitted fn from XLA's cost
-    analysis; splats straight into ``segment_report``."""
+def compile_with_cost(fn: Callable, *args):
+    """(compiled_executable, {'flops', 'bytes_accessed'}) with ONE
+    compile -- reuse the executable for timing instead of jitting the fn
+    a second time (first compiles cost minutes on the remote server)."""
     compiled = jax.jit(fn).lower(*args).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0] if ca else {}
     ca = ca or {}
-    return {
+    return compiled, {
         "flops": float(ca.get("flops", float("nan"))),
         "bytes_accessed": float(ca.get("bytes accessed", float("nan"))),
     }
+
+
+def cost_of(fn: Callable, *args) -> Dict[str, float]:
+    """{'flops', 'bytes_accessed'} of the jitted fn from XLA's cost
+    analysis; splats straight into ``segment_report``."""
+    return compile_with_cost(fn, *args)[1]
 
 
 def segment_report(seconds: float, flops: float,
@@ -67,12 +74,15 @@ def segment_report(seconds: float, flops: float,
     tflops = flops / seconds / 1e12 if seconds > 0 else float("nan")
     out = {
         "seconds": round(seconds, 5),
-        "gflop": round(flops / 1e9, 2),
-        "tflops_per_s": round(tflops, 2),
-        "mfu": round(flops / seconds / peaks["flops_bf16"], 4),
+        "gflop": round(flops / 1e9, 2) if flops == flops else None,
+        "tflops_per_s": round(tflops, 2) if tflops == tflops else None,
     }
+    # guard NaN peaks (gen='cpu'): bare NaN tokens would make the
+    # driver-contract bench JSON line unparseable by strict consumers
+    mfu = flops / seconds / peaks["flops_bf16"]
+    out["mfu"] = round(mfu, 4) if mfu == mfu else None
     if bytes_accessed == bytes_accessed:  # not NaN
         out["gbytes"] = round(bytes_accessed / 1e9, 3)
-        out["hbm_bw_util"] = round(
-            bytes_accessed / seconds / peaks["hbm_bw"], 4)
+        bw = bytes_accessed / seconds / peaks["hbm_bw"]
+        out["hbm_bw_util"] = round(bw, 4) if bw == bw else None
     return out

@@ -140,3 +140,16 @@ def test_heart_cli_exact_flag_reaches_config(synth_root, monkeypatch):
              "--data", synth_root])
     cfg = seen["cfg"]
     assert cfg.wire_image_dtype == "int8" and cfg.fast_unmold is True
+
+
+def test_parse_mesh_spec():
+    from cfun_tpu.cli import parse_mesh
+
+    assert parse_mesh(None) is None
+    assert parse_mesh("") is None
+    assert parse_mesh("4") == (4, 1)
+    assert parse_mesh("4,2") == (4, 2)
+    with pytest.raises(ValueError):
+        parse_mesh("4,2,1")
+    with pytest.raises(ValueError):
+        parse_mesh("0")
