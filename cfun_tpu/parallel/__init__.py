@@ -14,5 +14,6 @@ from cfun_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
     make_parallel_train_step,
+    put_replicated,
     stack_batches,
 )

@@ -68,6 +68,23 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, ("data", "space"))
 
 
+def put_replicated(tree, sharding: NamedSharding):
+    """Place a host pytree fully replicated on a (possibly multi-process)
+    mesh.
+
+    ``jax.device_put`` cannot target devices the calling process does not
+    address.  On a multi-controller run every process holds the full
+    (identical) host value, which *is* the process-local portion of a
+    fully-replicated global array, so each leaf is assembled with
+    ``jax.make_array_from_process_local_data`` instead.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), np.shape(x)), tree)
+
+
 def batch_sharding(mesh: Mesh) -> TrainBatch:
     """Shardings for a stacked TrainBatch (leading axis = volumes).
 
@@ -100,10 +117,13 @@ def make_parallel_train_step(cfg: Config, anchors, mesh: Mesh):
     bshard = batch_sharding(mesh)
 
     def init_state(params) -> TrainState:
+        # optimizer state is built from the HOST params (zeros_like etc.)
+        # so both trees go through the same multi-process-safe placement
         opt = make_optimizer(cfg, params)
-        params = jax.device_put(params, repl)
-        return TrainState(params, jax.device_put(opt.init(params), repl),
-                          jnp.zeros((), jnp.int32))
+        opt_state = opt.init(params)
+        return TrainState(put_replicated(params, repl),
+                          put_replicated(opt_state, repl),
+                          put_replicated(np.zeros((), np.int32), repl))
 
     def step(state: TrainState, batch: TrainBatch, key):
         (total, parts), grads = jax.value_and_grad(

@@ -54,10 +54,11 @@ def _grouped(iterable, n: int):
 class TrainingPrograms(NamedTuple):
     """The device programs + batching glue for one trainer configuration.
 
-    ``group`` items from the feeder form one step's batch; ``put_batch``
-    maps that list to the step input (stacked + sharded on a mesh);
-    ``replicate`` places restored pytrees onto the mesh (identity on one
-    device).
+    ``group`` items from this host's feeder form one step's LOCAL batch
+    contribution (the global batch is ``group * process_count`` volumes);
+    ``put_batch`` maps that list to the step input (stacked + sharded on
+    a mesh, assembled across controller processes); ``replicate`` places
+    restored pytrees onto the mesh (identity on one device).
     """
     init_state: Callable
     step: Callable
@@ -112,22 +113,40 @@ def _build_training_programs(cfg: Config, anchors,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from cfun_tpu.parallel import (batch_sharding, make_mesh,
-                                   make_parallel_train_step, stack_batches)
+                                   make_parallel_train_step, put_replicated,
+                                   stack_batches)
 
     data_par, space = mesh_spec
+    nproc = jax.process_count()
+    if data_par % nproc:
+        raise ValueError(
+            f"mesh data axis ({data_par}) must divide evenly over the "
+            f"{nproc} controller processes")
     mesh = make_mesh(data_par * space, space=space)
     init_state, step_fn = make_parallel_train_step(cfg, anchors, mesh)
     repl = NamedSharding(mesh, P())
     bshard = batch_sharding(mesh)
+
+    def put_batch(items):
+        stacked = stack_batches(items)
+        if nproc == 1:
+            return jax.device_put(stacked, bshard)
+        # multi-controller: this process's feeder shard is the local
+        # portion of the global batch (the 'data' rows living on its
+        # devices); assemble the global array from the local rows
+        return jax.tree.map(
+            lambda s, x: jax.make_array_from_process_local_data(
+                s, x, (data_par,) + x.shape[1:]), bshard, stacked)
+
     val_fn = jax.jit(
         lambda p, b, a, k: batched_train_forward(p, b, a, cfg, k,
                                                  mesh=mesh),
         in_shardings=(repl, bshard, repl, repl))
     return TrainingPrograms(
         init_state, step_fn, val_fn,
-        put_batch=lambda items: jax.device_put(stack_batches(items), bshard),
-        replicate=lambda tree: jax.device_put(tree, repl),
-        group=data_par, mesh=mesh)
+        put_batch=put_batch,
+        replicate=lambda tree: put_replicated(tree, repl),
+        group=data_par // nproc, mesh=mesh)
 
 
 def train_model(cfg: Config, train_dataset, val_dataset,
@@ -152,6 +171,12 @@ def train_model(cfg: Config, train_dataset, val_dataset,
     val_base = jax.random.PRNGKey(seed + 0x5EED)
 
     prog = make_training_programs(cfg, anchors, mesh_spec)
+    # multi-controller runs: every process executes the same loop (the
+    # collectives inside the jit'd programs require it) but only process 0
+    # writes checkpoints and prints; each host logs its own metrics file
+    is_main = jax.process_index() == 0
+    host_tag = (f"-host{jax.process_index()}"
+                if jax.process_count() > 1 else "")
 
     params = cfun.init_params(jax.random.PRNGKey(seed), cfg)
     state = prog.init_state(params)
@@ -168,16 +193,18 @@ def train_model(cfg: Config, train_dataset, val_dataset,
             step=prog.replicate(jnp.asarray(int(meta.get("step", 0)),
                                             jnp.int32)))
         start_epoch = int(meta.get("epoch", 0))
-        print(f"Resumed from {weights} at epoch {start_epoch} "
-              f"({meta.get('source', 'npz')})")
+        if is_main:
+            print(f"Resumed from {weights} at epoch {start_epoch} "
+                  f"({meta.get('source', 'npz')})")
 
     run_dir = os.path.join(log_dir, cfg.name,
-                           time.strftime("%Y-%m-%d_%H-%M-%S"))
+                           time.strftime("%Y-%m-%d_%H-%M-%S") + host_tag)
     os.makedirs(run_dir, exist_ok=True)
     logger = MetricsLogger(run_dir)
-    if prog.mesh is not None:
+    if prog.mesh is not None and is_main:
         print(f"Mesh training: {dict(prog.mesh.shape)} "
-              f"({prog.group} volumes/step)")
+              f"({prog.group * jax.process_count()} volumes/step, "
+              f"{prog.group} fed per host)")
 
     # per-host data sharding: on a multi-process pod every host feeds its
     # own disjoint slice of the global shuffle (same seed on all hosts)
@@ -220,7 +247,8 @@ def train_model(cfg: Config, train_dataset, val_dataset,
                 pending = prog.put_batch(nxt) if nxt is not None else None
                 dev_sums = metrics if dev_sums is None else jax.tree.map(
                     jnp.add, dev_sums, metrics)
-                if (i + 1) % 5 == 0 or i + 1 == cfg.steps_per_epoch:
+                if is_main and ((i + 1) % 5 == 0
+                                or i + 1 == cfg.steps_per_epoch):
                     progress(i + 1, cfg.steps_per_epoch,
                              {"loss": float(metrics["total_loss"])},
                              prefix=f"epoch {epoch} ")
@@ -230,8 +258,9 @@ def train_model(cfg: Config, train_dataset, val_dataset,
             total_sum = fetched.pop("total_loss")
             logger.log({"epoch": epoch, "angle": angle, "loss": total_sum,
                         **fetched, "epoch_s": round(time.time() - t0, 2)})
-            print(f"Epoch {epoch}/{epochs} loss {total_sum:.5f} "
-                  f"({time.time() - t0:.1f}s)")
+            if is_main:
+                print(f"Epoch {epoch}/{epochs} loss {total_sum:.5f} "
+                      f"({time.time() - t0:.1f}s)")
 
             if epoch % cfg.val_every_epochs == 0:
                 val_loss = 0.0
@@ -245,16 +274,18 @@ def train_model(cfg: Config, train_dataset, val_dataset,
                         sub)
                     val_loss += float(total) / steps
                 logger.log({"epoch": epoch, "val_loss": val_loss})
-                print(f"  val loss {val_loss:.5f}")
-                # async: only the D2H fetch blocks here; the npz write
-                # overlaps the next epoch
-                checkpoint.save_async(ckpt_path, state.params, epoch=epoch,
-                                      step=int(state.step),
-                                      opt_state=state.opt_state,
-                                      meta={"name": cfg.name,
-                                            "stage": cfg.stage,
-                                            "loss": total_sum,
-                                            "val_loss": val_loss})
+                if is_main:
+                    print(f"  val loss {val_loss:.5f}")
+                    # async: only the D2H fetch blocks here; the npz
+                    # write overlaps the next epoch
+                    checkpoint.save_async(ckpt_path, state.params,
+                                          epoch=epoch,
+                                          step=int(state.step),
+                                          opt_state=state.opt_state,
+                                          meta={"name": cfg.name,
+                                                "stage": cfg.stage,
+                                                "loss": total_sum,
+                                                "val_loss": val_loss})
     finally:
         feeder.close()
         val_feeder.close()
@@ -262,10 +293,11 @@ def train_model(cfg: Config, train_dataset, val_dataset,
         # never mask the loop's own exception with a writer failure
         checkpoint.flush(raise_errors=False)
 
-    meta = {"name": cfg.name, "stage": cfg.stage}
-    if total_sum == total_sum:  # no epoch ran (resume at target): no loss
-        meta["loss"] = total_sum
-    checkpoint.save(ckpt_path, state.params, epoch=epochs,
-                    step=int(state.step), opt_state=state.opt_state,
-                    meta=meta)
+    if is_main:
+        meta = {"name": cfg.name, "stage": cfg.stage}
+        if total_sum == total_sum:  # NaN <=> no epoch ran: omit loss
+            meta["loss"] = total_sum
+        checkpoint.save(ckpt_path, state.params, epoch=epochs,
+                        step=int(state.step), opt_state=state.opt_state,
+                        meta=meta)
     return ckpt_path + ".npz"
