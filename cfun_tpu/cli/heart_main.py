@@ -152,6 +152,11 @@ def main(argv=None):
                              "parallelism x SPACE-way spatial H sharding "
                              "(e.g. --mesh 4 or --mesh 4,2); needs "
                              "DATA*SPACE visible devices")
+    parser.add_argument("--aug-device", action="store_true",
+                        help="apply the rotation augmentation (and RPN "
+                             "target assignment) on device; molded volumes "
+                             "are cached host-side across epochs "
+                             "(Config.augment_on_device)")
     parser.add_argument("--exact", action="store_true",
                         help="disable every wire/unmold approximation "
                              "(exact top-k, scan NMS, bf16 wire, "
@@ -177,6 +182,8 @@ def main(argv=None):
                  else contextlib.nullcontext())
     if args.command == "train":
         cfg = heart_config(args.stage)
+        if args.aug_device:
+            cfg = cfg.replace(augment_on_device=True)
         train_ds = HeartDataset()
         train_ds.load_heart(args.data, "train")
         train_ds.prepare()

@@ -117,6 +117,13 @@ class Config:
     # instead of leaving the crops' sharding to GSPMD propagation.  Needs
     # local D % 16 == 0 (four stride-2 levels).
     shard_unet_spatial: bool = False
+    # on-device augmentation (ops/augment.py): the feeder ships the
+    # UNROTATED molded volume (cached across epochs -- the mold becomes
+    # angle-independent) and the jit'd step rotates, re-normalizes and
+    # assigns RPN targets on device.  Heart molding only (rotate comes
+    # after resize there, matching reference model.py:1019-1052); the
+    # subsampling RNG moves to jax.random (PARITY.md).
+    augment_on_device: bool = False
 
     # explicit mask-shape override (tests / tiny configs); None = stage rule
     mask_shape_override: Tuple[int, int, int] | None = None

@@ -152,6 +152,10 @@ class TrainFeeder:
         self._rng = np.random.default_rng(seed)
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._lock = threading.Lock()
+        # cfg.augment_on_device: molded volumes are angle-independent, so
+        # they are cached across epochs (the host cost of an epoch drops
+        # to ~zero once the dataset has been molded once)
+        self._mold_cache: dict = {}
 
     def _plan(self, steps: int):
         """Deterministic (ids, seeds) for this host's ``steps`` items: the
@@ -168,9 +172,74 @@ class TrainFeeder:
         return (ids[self.shard_index::self.num_shards],
                 seeds[self.shard_index::self.num_shards])
 
+    def _unrotated_item(self, image_id: int):
+        """AugTrainBatch (ops/augment.py) for cfg.augment_on_device: the
+        UNROTATED molded volume + labels on the wire, with ``fill`` = the
+        wire-domain value of a raw 0 voxel (what rotation pads with on
+        device).  Cached across epochs."""
+        from cfun_tpu.ops.augment import AugTrainBatch
+
+        cfg = self.cfg
+        if cfg.pad_shape is not None:
+            raise ValueError(
+                "augment_on_device supports the heart molding only "
+                "(rotate-after-resize); LiTS rotates the raw volume "
+                "before pad+resize molding")
+        with self._lock:
+            cached = self._mold_cache.get(image_id)
+        if cached is not None:
+            return cached
+
+        from cfun_tpu import native
+        image = self.dataset.load_image(image_id)  # [H, W, D(, 1)]
+        mask = self.dataset.load_mask(image_id)    # [H, W, D]
+        img2d = image[..., 0] if image.ndim == 4 else image
+        labels = None
+        if native.available():
+            molded = native.mold_resize(img2d, cfg.image_shape,
+                                        normalize=False)
+            labels = native.pad_nearest_labels(
+                mask, mask.shape[:3], cfg.image_shape, (0, 0, 0))
+        if labels is None:
+            molded, _window, labels = mold_volume(image, cfg, mask)
+        # z-score on host (the device re-normalizes after rotating, which
+        # is exact because z-scoring is affine-invariant); fill carries
+        # where raw 0 lands under this normalization
+        m = float(molded.mean())
+        s = float(molded.std()) or 1.0
+        y = (molded.astype(np.float32) - m) / s
+        fill = np.float32((0.0 - m) / s)
+
+        if cfg.train_wire_int8:
+            image_out = (np.clip(y, -5.0, 5.0)
+                         * cfg.wire_int8_scale).astype(np.int8)
+            fill = np.float32(np.clip(fill, -5.0, 5.0))
+        elif cfg.compute_dtype == "bfloat16":
+            import ml_dtypes
+            image_out = y.astype(ml_dtypes.bfloat16)
+        else:
+            image_out = y
+        d, h, w = cfg.image_shape
+        if cfg.num_classes <= 16 and w % 2 == 0:
+            from cfun_tpu.train.step import pack_labels_w
+            labels_out = pack_labels_w(labels)
+        else:
+            labels_out = labels.astype(np.int8)
+        item = AugTrainBatch(image=image_out[None, ..., None],
+                             labels=labels_out,
+                             angle=np.float32(0.0), fill=fill)
+        with self._lock:
+            self._mold_cache[image_id] = item
+        return item
+
     def make_item(self, image_id: int, angle: float,
                   seed: int) -> TrainBatch:
         cfg = self.cfg
+        if cfg.augment_on_device:
+            # rotation/GT/RPN targets happen on device; `seed` is unused
+            # (the subsample RNG folds off the step key)
+            return self._unrotated_item(image_id)._replace(
+                angle=np.float32(angle))
         image = self.dataset.load_image(image_id)  # [H, W, D, 1]
         mask = self.dataset.load_mask(image_id)    # [H, W, D]
 

@@ -11,6 +11,7 @@ annotations on one jit'd program, never hand-written collectives.
 """
 
 from cfun_tpu.parallel.mesh import (  # noqa: F401
+    aug_batch_sharding,
     batch_sharding,
     make_mesh,
     make_parallel_train_step,

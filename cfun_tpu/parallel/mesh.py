@@ -104,9 +104,26 @@ def batch_sharding(mesh: Mesh) -> TrainBatch:
     )
 
 
-def stack_batches(batches) -> TrainBatch:
-    """Stack per-volume TrainBatch items along a new leading axis."""
-    return TrainBatch(*(np.stack(x) for x in zip(*batches)))
+def aug_batch_sharding(mesh: Mesh):
+    """Shardings for a stacked AugTrainBatch (cfg.augment_on_device).
+
+    Volumes shard over 'data' only: the device rotation gathers across the
+    full (H, W) plane, so pre-sharding H over 'space' would force an
+    all-gather before the first op; the partitioner re-shards the rotated
+    result where the conv graph wants it."""
+    from cfun_tpu.ops.augment import AugTrainBatch
+
+    def s(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return AugTrainBatch(image=s("data"), labels=s("data"),
+                         angle=s("data"), fill=s("data"))
+
+
+def stack_batches(batches):
+    """Stack per-volume TrainBatch/AugTrainBatch items along a new
+    leading axis (preserves the item type)."""
+    return type(batches[0])(*(np.stack(x) for x in zip(*batches)))
 
 
 def make_parallel_train_step(cfg: Config, anchors, mesh: Mesh):
@@ -114,7 +131,8 @@ def make_parallel_train_step(cfg: Config, anchors, mesh: Mesh):
     ``mesh.shape['data']`` volumes and performs one psum-mean SGD update."""
     anchors = jnp.asarray(anchors)
     repl = NamedSharding(mesh, P())
-    bshard = batch_sharding(mesh)
+    bshard = (aug_batch_sharding(mesh) if cfg.augment_on_device
+              else batch_sharding(mesh))
 
     def init_state(params) -> TrainState:
         # optimizer state is built from the HOST params (zeros_like etc.)

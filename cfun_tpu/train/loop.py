@@ -30,7 +30,7 @@ from cfun_tpu.data.feeder import TrainFeeder
 from cfun_tpu.models import cfun
 from cfun_tpu.ops.anchors import config_anchors
 from cfun_tpu.train.step import (TrainBatch, batched_train_forward,
-                                 make_train_step, train_forward)
+                                 make_train_step, train_forward_any)
 from cfun_tpu.utils import checkpoint
 from cfun_tpu.utils.logging import MetricsLogger, progress
 
@@ -38,8 +38,9 @@ LOSS_KEYS = ("rpn_class_loss", "rpn_bbox_loss", "mrcnn_class_loss",
              "mrcnn_bbox_loss", "mrcnn_mask_loss", "mrcnn_mask_edge_loss")
 
 
-def _to_device(batch: TrainBatch) -> TrainBatch:
-    return TrainBatch(*(jnp.asarray(x) for x in batch))
+def _to_device(batch):
+    # works for TrainBatch and AugTrainBatch alike
+    return type(batch)(*(jnp.asarray(x) for x in batch))
 
 
 def _grouped(iterable, n: int):
@@ -104,7 +105,8 @@ def _build_training_programs(cfg: Config, anchors,
                              ) -> TrainingPrograms:
     if mesh_spec is None:
         init_state, step_fn = make_train_step(cfg, anchors)
-        val_fn = jax.jit(lambda p, b, a, k: train_forward(p, b, a, cfg, k))
+        val_fn = jax.jit(
+            lambda p, b, a, k: train_forward_any(p, b, a, cfg, k))
         return TrainingPrograms(
             init_state, step_fn, val_fn,
             put_batch=lambda items: _to_device(items[0]),
@@ -112,9 +114,9 @@ def _build_training_programs(cfg: Config, anchors,
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from cfun_tpu.parallel import (batch_sharding, make_mesh,
-                                   make_parallel_train_step, put_replicated,
-                                   stack_batches)
+    from cfun_tpu.parallel import (aug_batch_sharding, batch_sharding,
+                                   make_mesh, make_parallel_train_step,
+                                   put_replicated, stack_batches)
 
     data_par, space = mesh_spec
     nproc = jax.process_count()
@@ -125,7 +127,8 @@ def _build_training_programs(cfg: Config, anchors,
     mesh = make_mesh(data_par * space, space=space)
     init_state, step_fn = make_parallel_train_step(cfg, anchors, mesh)
     repl = NamedSharding(mesh, P())
-    bshard = batch_sharding(mesh)
+    bshard = (aug_batch_sharding(mesh) if cfg.augment_on_device
+              else batch_sharding(mesh))
 
     def put_batch(items):
         stacked = stack_batches(items)

@@ -205,16 +205,30 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
     return L.weighted_total(out, cfg), out
 
 
-def batched_train_forward(params, batch: TrainBatch, anchors, cfg: Config,
+def train_forward_any(params, batch, anchors: jnp.ndarray, cfg: Config,
+                      key, mesh=None):
+    """``train_forward`` that also accepts an :class:`AugTrainBatch`
+    (cfg.augment_on_device): rotation + re-normalization + RPN targets run
+    on device first (ops/augment.py), then the regular forward."""
+    from cfun_tpu.ops.augment import AugTrainBatch, device_augment
+
+    if isinstance(batch, AugTrainBatch):
+        k_aug, key = jax.random.split(key)
+        batch = device_augment(batch, anchors, cfg, k_aug)
+    return train_forward(params, batch, anchors, cfg, key, mesh=mesh)
+
+
+def batched_train_forward(params, batch, anchors, cfg: Config,
                           key, mesh=None):
-    """Mean loss over a stacked TrainBatch (leading axis = volumes).
+    """Mean loss over a stacked TrainBatch/AugTrainBatch (leading axis =
+    volumes).
 
     Used by the data-parallel step (cfun_tpu/parallel/mesh.py): under a
     'data'-sharded batch the mean becomes a psum over ICI via GSPMD.
     """
     keys = jax.random.split(key, batch.image.shape[0])
     totals, parts = jax.vmap(
-        lambda b, k: train_forward(params, b, anchors, cfg, k, mesh=mesh)
+        lambda b, k: train_forward_any(params, b, anchors, cfg, k, mesh=mesh)
     )(batch, keys)
     return jnp.mean(totals), jax.tree.map(jnp.mean, parts)
 
@@ -249,8 +263,8 @@ def make_train_step(cfg: Config, anchors):
 
     def step(state: TrainState, batch: TrainBatch, key):
         (total, parts), grads = jax.value_and_grad(
-            train_forward, has_aux=True)(state.params, batch, anchors, cfg,
-                                         key)
+            train_forward_any, has_aux=True)(state.params, batch, anchors,
+                                             cfg, key)
         return apply_update(cfg, state, grads, total, parts)
 
     return init_state, jax.jit(step, donate_argnums=(0,))
