@@ -37,6 +37,9 @@ def main():
                     help="Config.augment_on_device: rotation/RPN targets "
                          "on device, molds cached across epochs (epoch 2+ "
                          "shows the steady-state wall)")
+    ap.add_argument("--device-cache", action="store_true",
+                    help="Config.device_mold_cache: molded train set pinned "
+                         "in HBM; epoch 2+ uploads nothing but angles")
     ap.add_argument("--host-shape", default=(144, 144, 96), type=int,
                     nargs=3, metavar=("H", "W", "D"),
                     help="synthetic source volume shape; use 512 512 300 "
@@ -54,7 +57,8 @@ def main():
     cfg = heart_config("beginning",
                        steps_per_epoch=args.steps,
                        train_wire_int8=(args.wire == "int8"),
-                       augment_on_device=args.aug_device)
+                       augment_on_device=args.aug_device,
+                       device_mold_cache=args.device_cache)
     host_shape = tuple(args.host_shape)
     train_ds = SyntheticDataset(cfg, n=8, seed=1000,
                                 host_shape=host_shape, n_fg=7)
@@ -83,6 +87,7 @@ def main():
             epoch_s = [r["epoch_s"] for r in metrics if "epoch_s" in r]
             rep.append({"wire": args.wire, "epochs": args.epochs,
                         "aug_device": bool(args.aug_device),
+                        "device_cache": bool(args.device_cache),
                         "steps": args.steps, "seed": args.seed,
                         "host_shape": list(host_shape),
                         "losses": [round(v, 4) for v in losses],

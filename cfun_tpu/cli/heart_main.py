@@ -157,6 +157,11 @@ def main(argv=None):
                              "target assignment) on device; molded volumes "
                              "are cached host-side across epochs "
                              "(Config.augment_on_device)")
+    parser.add_argument("--device-cache", action="store_true",
+                        help="with --aug-device: pin the molded train set "
+                             "in device memory -- after epoch 1 no train "
+                             "image bytes cross the host->device link "
+                             "(Config.device_mold_cache; single-device)")
     parser.add_argument("--exact", action="store_true",
                         help="disable every wire/unmold approximation "
                              "(exact top-k, scan NMS, bf16 wire, "
@@ -183,7 +188,8 @@ def main(argv=None):
     if args.command == "train":
         cfg = heart_config(args.stage)
         if args.aug_device:
-            cfg = cfg.replace(augment_on_device=True)
+            cfg = cfg.replace(augment_on_device=True,
+                              device_mold_cache=args.device_cache)
         train_ds = HeartDataset()
         train_ds.load_heart(args.data, "train")
         train_ds.prepare()

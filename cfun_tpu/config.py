@@ -124,6 +124,13 @@ class Config:
     # after resize there, matching reference model.py:1019-1052); the
     # subsampling RNG moves to jax.random (PARITY.md).
     augment_on_device: bool = False
+    # with augment_on_device: keep the (angle-independent) molded train
+    # volumes resident in device memory across epochs -- after the first
+    # epoch NO train-image bytes cross the host->device link.  The heart
+    # train set fits easily (~47 int8 molded volumes ~= 0.9 GB HBM);
+    # leave off where HBM is tight (finetune 192^3 masks).  Single-process
+    # trainers only (the multi-controller batch assembly needs host rows).
+    device_mold_cache: bool = False
 
     # explicit mask-shape override (tests / tiny configs); None = stage rule
     mask_shape_override: Tuple[int, int, int] | None = None

@@ -228,6 +228,13 @@ class TrainFeeder:
         item = AugTrainBatch(image=image_out[None, ..., None],
                              labels=labels_out,
                              angle=np.float32(0.0), fill=fill)
+        if cfg.device_mold_cache:
+            # pin the molded volume in HBM: later epochs re-send only the
+            # 4-byte angle scalar (jnp.asarray in the batch path is a
+            # no-op on committed device arrays)
+            import jax
+            item = item._replace(image=jax.device_put(item.image),
+                                 labels=jax.device_put(item.labels))
         with self._lock:
             self._mold_cache[image_id] = item
         return item

@@ -119,6 +119,11 @@ def _build_training_programs(cfg: Config, anchors,
                                    put_replicated, stack_batches)
 
     data_par, space = mesh_spec
+    if cfg.device_mold_cache:
+        raise ValueError(
+            "device_mold_cache is a single-device optimization: the mesh "
+            "batch path stacks host rows (and multi-controller assembly "
+            "requires process-local host arrays)")
     nproc = jax.process_count()
     if data_par % nproc:
         raise ValueError(

@@ -184,6 +184,38 @@ def test_train_step_with_device_augmentation():
         assert np.isfinite(total), (i, metrics)
 
 
+def test_device_mold_cache_pins_items_in_device_memory():
+    import pytest
+
+    cfg = tiny_config().replace(augment_on_device=True,
+                                device_mold_cache=True)
+    ds = SyntheticDataset(cfg, n=1, seed=0)
+    anchors = config_anchors(cfg)
+    feeder = TrainFeeder(ds, cfg, anchors, seed=0, num_workers=1)
+    try:
+        it = feeder.make_item(0, angle=4.0, seed=0)
+        assert isinstance(it.image, jax.Array)
+        assert isinstance(it.labels, jax.Array)
+        # the next epoch's item reuses the SAME device buffer (only the
+        # 4-byte angle scalar differs)
+        it2 = feeder.make_item(0, angle=-8.0, seed=1)
+        assert it2.image is it.image
+        assert float(it2.angle) == -8.0
+    finally:
+        feeder.close()
+
+    from cfun_tpu.models import cfun
+    init_state, step = make_train_step(cfg, anchors)
+    state = init_state(cfun.init_params(jax.random.PRNGKey(0), cfg))
+    _, metrics = step(state, it, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # the mesh batch path stacks host rows -> explicitly unsupported
+    from cfun_tpu.train.loop import make_training_programs
+    with pytest.raises(ValueError, match="single-device"):
+        make_training_programs(cfg, anchors, mesh_spec=(2, 1))
+
+
 def test_mesh_training_with_device_augmentation():
     """The mesh trainer consumes AugTrainBatch items: aug_batch_sharding +
     the generic stack/put path + device_augment under vmap on a mesh."""
