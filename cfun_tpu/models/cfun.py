@@ -35,12 +35,16 @@ from cfun_tpu.ops.sample3d import roi_align
 def _use_pallas_nms(cfg: Config) -> bool:
     if cfg.nms_backend == "pallas":
         return True
-    # 'auto' currently resolves to the scan formulation: it measures 27 ms
-    # for the K=500 training path, while Pallas grid steps dispatch as
-    # separate remote calls under tunneled backends (~32 ms/step).  The
-    # kernel stays available via nms_backend='pallas' for directly-attached
-    # TPU hosts.
-    return False
+    if cfg.nms_backend != "auto":
+        return False
+    # 'auto' follows the host attachment (benchmarks/nms_timing.py: the
+    # kernel is 0.02 ms vs scan's 0.11 ms amortized at K=500, but Pallas
+    # grid steps dispatch as separate ~32 ms remote calls on tunneled
+    # backends): Pallas on a directly-attached TPU ('tpu' platform), scan
+    # through the axon tunnel and on CPU.
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _sorted_nms(boxes, scores_sorted, valid, threshold, max_out, cfg):
