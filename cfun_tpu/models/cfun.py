@@ -40,11 +40,17 @@ def _use_pallas_nms(cfg: Config) -> bool:
     # 'auto' follows the host attachment (benchmarks/nms_timing.py: the
     # kernel is 0.02 ms vs scan's 0.11 ms amortized at K=500, but Pallas
     # grid steps dispatch as separate ~32 ms remote calls on tunneled
-    # backends): Pallas on a directly-attached TPU ('tpu' platform), scan
-    # through the axon tunnel and on CPU.
+    # backends): Pallas on a directly-attached TPU, scan through the axon
+    # tunnel and on CPU.  The axon plugin masquerades as platform 'tpu'
+    # end to end (default_backend, device.platform, client.platform all
+    # say 'tpu'), so the tunnel is only detectable from its environment.
+    import os
+
     import jax
 
-    return jax.default_backend() == "tpu"
+    tunneled = ("axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+                or bool(os.environ.get("PALLAS_AXON_POOL_IPS")))
+    return jax.default_backend() == "tpu" and not tunneled
 
 
 def _sorted_nms(boxes, scores_sorted, valid, threshold, max_out, cfg):

@@ -76,6 +76,12 @@ def pallas_sorted_nms(boxes: jnp.ndarray, valid: jnp.ndarray,
     ``interpret=True`` runs the kernel in the Pallas interpreter (CPU
     tests).
     """
+    # outputs are integer indices + a bool mask, so NMS has no tangents to
+    # propagate; detaching the inputs makes the kernel safe under
+    # jax.grad/jvp (pallas_call has no JVP rule -- the train step's
+    # value_and_grad would otherwise assert even though the proposal path
+    # stop_gradients its result afterwards)
+    boxes = jax.lax.stop_gradient(boxes)
     n_in = boxes.shape[0]
     n = ((n_in + _LANES - 1) // _LANES) * _LANES
     rows = n // _LANES

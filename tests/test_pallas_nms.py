@@ -41,3 +41,54 @@ def test_pallas_nms_validity_and_capacity():
                                   0.99, 4, interpret=True)  # no suppression
     got = [int(i) for i, k in zip(np.asarray(idx), np.asarray(keep)) if k]
     assert got == [1, 2, 3, 4]  # capacity 4, skipping the invalid 0
+
+
+def test_pallas_nms_safe_under_grad():
+    """The train step differentiates THROUGH propose() (its result is
+    stop_gradient'ed only afterwards); pallas_call has no JVP rule, so the
+    kernel must detach its own inputs (regression: the nms_backend='auto'
+    rollout asserted inside jax.value_and_grad on the chip)."""
+    import jax
+
+    boxes, _ = _sorted_candidates(3, n=40)
+    valid = np.ones(40, bool)
+
+    def loss(b):
+        idx, keep = pallas_sorted_nms(b, jnp.asarray(valid), 0.4, 8,
+                                      interpret=True)
+        picked = b[idx] * keep[:, None]  # gradient flows via the gather
+        return jnp.sum(picked)
+
+    g = jax.grad(loss)(jnp.asarray(boxes))
+    assert g.shape == boxes.shape
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_nms_auto_backend_resolution(monkeypatch):
+    """'auto' must NOT pick Pallas through the axon tunnel (the plugin
+    masquerades as platform 'tpu'; only the env distinguishes it)."""
+    import jax
+
+    from cfun_tpu.config import tiny_config
+    from cfun_tpu.models.cfun import _use_pallas_nms
+
+    cfg = tiny_config(nms_backend="auto")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    # CPU test platform: auto -> scan
+    assert not _use_pallas_nms(cfg)
+    # tunneled chip: still scan, even though default_backend says 'tpu'
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not _use_pallas_nms(cfg)
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert not _use_pallas_nms(cfg)
+    # directly-attached chip: Pallas
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert _use_pallas_nms(cfg)
+    # explicit settings always win
+    assert _use_pallas_nms(tiny_config(nms_backend="pallas"))
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not _use_pallas_nms(tiny_config(nms_backend="scan"))
