@@ -99,7 +99,18 @@ def main():
         from cfun_tpu.config import lits_inference_config
 
         lcfg = lits_inference_config("finetune")
-        ldet = Detector(lcfg, cfun.init_params(jax.random.PRNGKey(0), lcfg))
+        lparams = cfun.init_params(jax.random.PRNGKey(0), lcfg)
+        lckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "weights", "lits_synth.npz")
+        if os.path.exists(lckpt):
+            from cfun_tpu.utils import checkpoint as _ckpt
+            try:
+                lparams, _, lmeta = _ckpt.load_any(lckpt, lcfg, lparams,
+                                                   strict=False)
+                extras["lits_weights"] = lmeta.get("tag", "lits_synth.npz")
+            except Exception as e:
+                extras["lits_weights"] = f"random (load failed: {e!r:.80})"
+        ldet = Detector(lcfg, lparams)
         lvol = np.ascontiguousarray(
             synth_volume(512, 512, 400, seed=4) - 450.0)
         ldet.detect(lvol)

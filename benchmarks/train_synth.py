@@ -31,6 +31,16 @@ def main():
     ap.add_argument("--out", default=None,
                     help="save the final params here (npz)")
     ap.add_argument("--seed", default=0, type=int)
+    ap.add_argument("--stage", default="beginning",
+                    choices=["beginning", "finetune"])
+    ap.add_argument("--weights", default=None,
+                    help="resume/transfer from this checkpoint; same-stage "
+                         "npz resumes epoch numbering, cross-stage follows "
+                         "the reference's transfer recipe (params only, "
+                         "epochs restart)")
+    ap.add_argument("--transfer", action="store_true",
+                    help="force params-only transfer (epoch counter reset) "
+                         "even within the same stage")
     ap.add_argument("--report", default=None,
                     help="append {wire, losses[]} to this JSON file")
     ap.add_argument("--aug-device", action="store_true",
@@ -54,7 +64,7 @@ def main():
     from cfun_tpu.train.loop import train_model
     from cfun_tpu.utils import checkpoint
 
-    cfg = heart_config("beginning",
+    cfg = heart_config(args.stage,
                        steps_per_epoch=args.steps,
                        train_wire_int8=(args.wire == "int8"),
                        augment_on_device=args.aug_device,
@@ -67,7 +77,31 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix=f"synth_{args.wire}_")
     try:
+        weights = args.weights
+        if weights:
+            import json as _json
+
+            real = weights if weights.endswith(".npz") else weights + ".npz"
+            with np.load(real) as z:
+                meta0 = (_json.loads(bytes(z["__meta__"].tobytes()).decode())
+                         if "__meta__" in z.files else {})
+            if args.transfer or meta0.get("stage", args.stage) != args.stage:
+                # reference stage-transfer recipe: params only (key-
+                # filtered into the new stage's tree), epochs restart
+                import jax
+
+                from cfun_tpu.models import cfun
+                template = cfun.init_params(jax.random.PRNGKey(0), cfg)
+                p, _, _ = checkpoint.load(real, template, strict=False)
+                weights = os.path.join(tmp, "transfer_seed.npz")
+                checkpoint.save(weights, p, epoch=0,
+                                meta={"name": cfg.name, "stage": args.stage,
+                                      "transfer_from":
+                                      os.path.basename(real)})
+                print(f"transfer: {real} (stage "
+                      f"{meta0.get('stage', '?')}) -> {args.stage}")
         ckpt = train_model(cfg, train_ds, val_ds, log_dir=tmp,
+                           weights=weights,
                            epochs=args.epochs, seed=args.seed,
                            num_workers=2)
         metrics = []
@@ -105,7 +139,8 @@ def main():
             checkpoint.save(args.out, params,
                             epoch=int(meta.get("epoch", args.epochs)),
                             meta={"tag": f"synthetic-{args.epochs}ep-"
-                                         f"{args.wire}"},
+                                         f"{args.wire}",
+                                  "name": cfg.name, "stage": args.stage},
                             store_dtype="float16", compress=True)
             print(f"saved {args.out}")
     finally:
