@@ -36,6 +36,24 @@ def synth_volume(h=512, w=512, d=300, seed=0):
     return vol
 
 
+def load_trained(name, cfg, params):
+    """Load weights/<name> into ``params`` if present; returns
+    (params, tag).  Trained weights give the detection tail realistic
+    score distributions (random weights make proposals near-degenerate);
+    falls back to random if the checkpoint is absent or unloadable."""
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", name)
+    if not os.path.exists(ckpt):
+        return params, "random"
+    from cfun_tpu.utils import checkpoint
+    try:
+        params, _, meta = checkpoint.load_any(ckpt, cfg, params,
+                                              strict=False)
+        return params, meta.get("tag", name)
+    except Exception as e:
+        return params, f"random (load failed: {e!r:.80})"
+
+
 def main():
     import numpy as np
     import jax
@@ -46,20 +64,7 @@ def main():
 
     cfg = heart_inference_config("beginning")
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
-    # trained weights give the detection tail realistic score
-    # distributions (random weights make proposals near-degenerate);
-    # fall back to random if the checkpoint is absent
-    weights_tag = "random"
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "weights", "heart_synth.npz")
-    if os.path.exists(ckpt):
-        from cfun_tpu.utils import checkpoint
-        try:
-            params, _, wmeta = checkpoint.load_any(ckpt, cfg, params,
-                                                   strict=False)
-            weights_tag = wmeta.get("tag", "heart_synth.npz")
-        except Exception as e:
-            weights_tag = f"random (load failed: {e!r:.80})"
+    params, weights_tag = load_trained("heart_synth.npz", cfg, params)
     # pin on device once for the MFU segment timers below (Detector pins
     # its own copy): loaded checkpoints are host numpy, and host leaves
     # re-ship the whole tree on every timed call
@@ -100,16 +105,8 @@ def main():
 
         lcfg = lits_inference_config("finetune")
         lparams = cfun.init_params(jax.random.PRNGKey(0), lcfg)
-        lckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "weights", "lits_synth.npz")
-        if os.path.exists(lckpt):
-            from cfun_tpu.utils import checkpoint as _ckpt
-            try:
-                lparams, _, lmeta = _ckpt.load_any(lckpt, lcfg, lparams,
-                                                   strict=False)
-                extras["lits_weights"] = lmeta.get("tag", "lits_synth.npz")
-            except Exception as e:
-                extras["lits_weights"] = f"random (load failed: {e!r:.80})"
+        lparams, extras["lits_weights"] = load_trained(
+            "lits_synth.npz", lcfg, lparams)
         ldet = Detector(lcfg, lparams)
         lvol = np.ascontiguousarray(
             synth_volume(512, 512, 400, seed=4) - 450.0)

@@ -187,6 +187,10 @@ def main(argv=None):
                  else contextlib.nullcontext())
     if args.command == "train":
         cfg = heart_config(args.stage)
+        if args.device_cache and not args.aug_device:
+            # the HBM mold cache pins angle-independent molds, which only
+            # exist when rotation happens on device
+            raise SystemExit("--device-cache requires --aug-device")
         if args.aug_device:
             cfg = cfg.replace(augment_on_device=True,
                               device_mold_cache=args.device_cache)

@@ -309,6 +309,9 @@ def lits_config(stage: str = "beginning", **overrides) -> Config:
         intensity_norm="hu_window",
         pad_shape=(536, 646, 646),  # (D,H,W) of PAD_IMAGE_SHAPE [646,646,536]
         mask_class_weights=(1.0, 1.0, 100.0),  # LiTS_2017/model.py:926-927
+        # int8 wires (train or inference) quantize the [0, 1] HU-windowed
+        # volume: full int8 range, not the heart default's z-score +-5 sigma
+        wire_int8_scale=127.0,
         augment_rotate_degrees=30.0,
         unet_dropout_rate=0.0,  # dropout disabled (LiTS_2017/mask_branch.py:19,130)
         # P3D35 trunk activations at 256x320x320 exceed 16 GB HBM in the

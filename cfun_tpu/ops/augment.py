@@ -127,9 +127,16 @@ def rpn_targets_device(anchors: jnp.ndarray, gt_box: jnp.ndarray,
     vol_g = jnp.prod(g[3:] - g[:3])
     iou = inter / (vol_a + vol_g - inter + 1e-6)
 
+    # an empty gt_box (all zeros: the rotated volume lost every foreground
+    # voxel, possible for a corner organ at +-20 deg) must not produce a
+    # forced-positive anchor with log(0) deltas -> NaN step; mark the whole
+    # item neutral instead (neutral anchors are excluded from both RPN
+    # losses, so the step degrades to a no-op for this item)
+    valid = vol_g > 0.0
+
     num = a.shape[0]
-    pos = (iou >= 0.7) | (jnp.arange(num) == jnp.argmax(iou))
-    neg = (iou < 0.3) & ~pos
+    pos = ((iou >= 0.7) | (jnp.arange(num) == jnp.argmax(iou))) & valid
+    neg = (iou < 0.3) & ~pos & valid
 
     quota = cfg.rpn_train_anchors_per_image
     k_pos, k_neg = jax.random.split(key)
@@ -146,7 +153,9 @@ def rpn_targets_device(anchors: jnp.ndarray, gt_box: jnp.ndarray,
 
     size_a = a[:, 3:] - a[:, :3]
     center_a = a[:, :3] + 0.5 * size_a
-    size_g = g[3:] - g[:3]
+    # clamp so an empty gt (masked out above) cannot leak log(0)=-inf into
+    # the masked-out lanes (0 * inf = NaN under AD)
+    size_g = jnp.maximum(g[3:] - g[:3], 1e-3)
     center_g = g[:3] + 0.5 * size_g
     deltas = jnp.concatenate(
         [(center_g - center_a) / size_a,

@@ -115,6 +115,20 @@ def test_rpn_targets_device_invariants():
     assert np.all(deltas[match != 1] == 0.0)
 
 
+def test_rpn_targets_device_empty_gt_is_neutral_and_finite():
+    """An all-zero gt_box (rotation pushed every foreground voxel out of
+    frame) must not create a forced-positive anchor with log(0) deltas:
+    the whole item goes neutral and every delta stays finite."""
+    cfg = tiny_config()
+    anchors = config_anchors(cfg).astype(np.float32)
+    match, deltas = jax.jit(
+        lambda g, k: rpn_targets_device(jnp.asarray(anchors), g, cfg, k)
+    )(jnp.zeros(6, jnp.float32), jax.random.PRNGKey(0))
+    assert np.all(np.asarray(match) == 0)
+    assert np.all(np.isfinite(np.asarray(deltas)))
+    assert np.all(np.asarray(deltas) == 0.0)
+
+
 def test_device_augment_angle_zero_reproduces_host_batch():
     cfg = tiny_config()  # float32 compute -> exact comparisons
     d, h, w = cfg.image_shape
