@@ -10,7 +10,7 @@ PYTHONPATH=/root/.axon_site:/root/repo"
 
 set -x
 timeout 4500 $ENV python benchmarks/train_synth.py --stage finetune \
-  --epochs 28 --wire bf16 --weights weights/heart_synth_ft.npz \
+  --epochs 48 --wire bf16 --weights weights/heart_synth_ft.npz \
   --out weights/heart_synth_ft.npz \
   --report benchmarks/train_synth_extend.json || exit 1
 timeout 1800 $ENV python benchmarks/heart_synth_eval.py --stage finetune \
