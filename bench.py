@@ -126,7 +126,15 @@ def main():
     finetune = {}
     try:
         cfg_ft = heart_inference_config("finetune")
-        det_ft = Detector(cfg_ft, params)
+        # the finetune-stage checkpoint (trained upscale head + Sobel-loss
+        # epochs) if present; else reuse the beginning-stage params (the
+        # param tree is stage-invariant, the ft head is just untrained)
+        params_ft = cfun.init_params(jax.random.PRNGKey(0), cfg_ft)
+        params_ft, finetune_tag = load_trained(
+            "heart_synth_ft.npz", cfg_ft, params_ft)
+        if finetune_tag == "random" or "load failed" in finetune_tag:
+            params_ft, finetune_tag = params, weights_tag
+        det_ft = Detector(cfg_ft, params_ft)
         det_ft.detect(vol)
         t_ft = []
         for _ in range(3):
@@ -137,6 +145,7 @@ def main():
         finetune = {
             "finetune_latency_s": round(lat_ft, 4),
             "finetune_vs_baseline": round(BASELINE_SECONDS / lat_ft, 2),
+            "finetune_weights": finetune_tag,
         }
     except Exception as e:  # headline metric must still print
         finetune = {"finetune_error": repr(e)[:200]}
