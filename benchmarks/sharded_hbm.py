@@ -1,0 +1,155 @@
+"""Per-device memory of the heart FINETUNE train step, dense vs sharded.
+
+The sharded U-Net's reason to exist (parallel/halo.py) is scaling the
+finetune stage -- 192^3 mask crops, measured 15.3 GB of a 16 GB v5e as a
+single-device program -- beyond one chip.  This script makes that concrete
+(VERDICT r3 #3a): it AOT-compiles the REAL heart finetune train step
+
+  * single-device (``make_train_step``), and
+  * on a ('data', 'space') mesh at space=2, both the GSPMD-propagated
+    spatial sharding and the explicit shard_map halo U-Net
+    (``cfg.shard_unet_spatial``),
+
+and records each executable's ``memory_analysis()`` -- per-DEVICE numbers
+for SPMD executables, so the dense-vs-sharded delta is exactly the HBM a
+second chip buys.  Everything is abstract (ShapeDtypeStruct lowering): no
+arrays are allocated, so the 15+ GiB programs "fit" on any host and the
+CPU backend is fine (the buffer-assignment sizes, not the runtime, are the
+measurement; XLA fusion differs slightly across backends, so treat the
+absolute numbers as estimates and the dense-vs-sharded RATIO as the
+result).
+
+Usage (CPU, no TPU needed):
+    XLA_FLAGS=--xla_force_host_platform_device_count=2 JAX_PLATFORMS=cpu \
+        python benchmarks/sharded_hbm.py [--stage finetune] [--space 2]
+
+Writes benchmarks/sharded_hbm.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _sds(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, jnp.dtype(dtype))
+
+
+def batch_sds(cfg, n_anchors, batch_axis=None):
+    """Abstract TrainBatch (optionally with a leading stacked axis)."""
+    from cfun_tpu.train.step import TrainBatch
+
+    d, h, w = cfg.image_shape
+    lead = () if batch_axis is None else (batch_axis,)
+    return TrainBatch(
+        image=_sds(lead + (1, d, h, w, 1), jnp.float32),
+        rpn_match=_sds(lead + (n_anchors,), jnp.int8),
+        rpn_deltas=_sds(lead + (n_anchors, 6), jnp.float32),
+        gt_box_norm=_sds(lead + (6,), jnp.float32),
+        labels=_sds(lead + (d, h, w), jnp.int32),
+    )
+
+
+def state_sds(cfg):
+    from cfun_tpu.models import cfun
+    from cfun_tpu.train.step import TrainState, make_optimizer
+
+    params = jax.eval_shape(lambda k: cfun.init_params(k, cfg),
+                            jax.random.PRNGKey(0))
+    opt = jax.eval_shape(lambda p: make_optimizer(cfg, p).init(p), params)
+    return TrainState(params, opt, _sds((), jnp.int32))
+
+
+def mem_report(lowered):
+    ma = lowered.compile().memory_analysis()
+    gib = 2.0**30
+    temp = ma.temp_size_in_bytes / gib
+    args = ma.argument_size_in_bytes / gib
+    out = ma.output_size_in_bytes / gib
+    return {
+        "temp_gib": round(temp, 3),
+        "args_gib": round(args, 3),
+        "output_gib": round(out, 3),
+        # donation aliases state args onto outputs, so peak live bytes are
+        # ~ args + temp (the dominant terms at these shapes)
+        "peak_est_gib": round(temp + args, 3),
+    }
+
+
+def measure(stage: str, space: int, compute_dtype: str = "float32"):
+    from cfun_tpu.config import heart_config
+    from cfun_tpu.ops.anchors import config_anchors
+    from cfun_tpu.parallel.mesh import make_mesh, make_parallel_train_step
+    from cfun_tpu.train.step import make_train_step
+
+    # float32 on the CPU backend: this XLA build's AllReducePromotion pass
+    # check-fails cloning the bf16 all-reduces the sharded grads produce
+    # ("Invalid binary instruction opcode copy").  Dtype is held EQUAL
+    # across the dense and sharded compiles, so the dense-vs-sharded ratio
+    # -- the measurement -- is unaffected; the absolute bf16 single-chip
+    # number is the on-chip 15.3 GB in README.
+    cfg = heart_config(stage).replace(compute_dtype=compute_dtype)
+    anchors = config_anchors(cfg)
+    n_anchors = int(np.prod(anchors.shape[:-1])) if anchors.ndim > 2 \
+        else anchors.shape[0]
+    key = _sds((2,), jnp.uint32)
+    rows = {"stage": stage, "image_shape": list(cfg.image_shape),
+            "mask_shape": list(cfg.mask_shape),
+            "remat_unet": cfg.remat_unet,
+            "compute_dtype": compute_dtype}
+
+    # --- single device ---
+    _, step = make_train_step(cfg, anchors)
+    low = step.lower(state_sds(cfg), batch_sds(cfg, n_anchors), key)
+    rows["single_device"] = mem_report(low)
+    print("single_device", json.dumps(rows["single_device"]), flush=True)
+
+    # --- mesh (data=1, space=N): GSPMD vs explicit halo shard_map ---
+    mesh = make_mesh(space, space=space)
+    for name, flag in (("mesh_gspmd", False), ("mesh_halo", True)):
+        mcfg = cfg.replace(shard_unet_spatial=flag)
+        _, mstep = make_parallel_train_step(mcfg, anchors, mesh)
+        low = mstep.lower(state_sds(mcfg),
+                          batch_sds(mcfg, n_anchors, batch_axis=1), key)
+        rows[name] = mem_report(low)
+        rows[name]["mesh"] = dict(mesh.shape)
+        print(name, json.dumps(rows[name]), flush=True)
+
+    s, g = rows["single_device"], rows["mesh_gspmd"]
+    rows["gspmd_vs_single_peak_ratio"] = round(
+        g["peak_est_gib"] / s["peak_est_gib"], 3)
+    h = rows["mesh_halo"]
+    rows["halo_vs_single_peak_ratio"] = round(
+        h["peak_est_gib"] / s["peak_est_gib"], 3)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="finetune")
+    ap.add_argument("--space", default=2, type=int)
+    args = ap.parse_args()
+
+    res = measure(args.stage, args.space)
+    res["device"] = str(jax.devices()[0])
+    print(json.dumps(res, indent=1))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "sharded_hbm.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

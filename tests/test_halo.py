@@ -115,6 +115,30 @@ def test_sharded_unet_matches_dense_both_stages():
                                    rtol=1e-3, atol=5e-4)
 
 
+def test_sharded_unet_matches_dense_finetune_depth():
+    """Parity at the REAL finetune shard depth (VERDICT r3 #3b): D=192
+    over space=2 gives local D=96 -- the actual per-shard plane counts the
+    halo exchanges see at every one of the four stride-2 context levels
+    (96 -> 48 -> 24 -> 12 local planes).  The 32^3 toy test above cannot
+    reach those shard geometries.  H/W and channel width stay small (the
+    sharded axis is D only), so this runs in seconds on the CPU mesh."""
+    from cfun_tpu.models.unet3d import apply_unet, init_unet
+    from cfun_tpu.parallel import make_mesh
+    from cfun_tpu.parallel.halo import shard_map_unet
+
+    params = init_unet(jax.random.PRNGKey(3), 1, 4, 2)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 192, 16, 16, 1),
+                          jnp.float32)
+    mesh = make_mesh(2, space=2)
+    dense = apply_unet(params, x, stage="finetune")
+    sharded = jax.jit(
+        lambda p, c: shard_map_unet(mesh, p, c, stage="finetune")
+    )(params, x)
+    assert sharded.shape == dense.shape  # (1, 384, 32, 32, 2) upscale head
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-3, atol=5e-4)
+
+
 def test_sharded_unet_rejects_misaligned_depth():
     import pytest
 

@@ -16,14 +16,17 @@ from cfun_tpu.utils import roofline
 
 
 def test_segment_report_math():
-    # 1 GFLOP in 0.1 s on a v5e (197 bf16 TF/s, 819 GB/s)
-    rep = roofline.segment_report(0.1, 1e9, 8.19e9, gen="v5e")
+    # 1 TFLOP in 0.1 s on a v5e (197 bf16 TF/s, 819 GB/s).  The flops are
+    # large enough that the rounded MFU (0.0508) sits far above the
+    # tolerance -- a zeroed-flops or wrong-peak regression cannot pass.
+    rep = roofline.segment_report(0.1, 1e12, 8.19e10, gen="v5e")
     assert rep["seconds"] == 0.1
-    assert rep["gflop"] == 1.0
-    assert rep["tflops_per_s"] == pytest.approx(0.01)
-    assert rep["mfu"] == pytest.approx(1e10 / 197e12, abs=1e-4)
-    # 8.19e9 B / 0.1 s = 81.9 GB/s = 10% of 819 GB/s
-    assert rep["hbm_bw_util"] == pytest.approx(0.1, abs=1e-4)
+    assert rep["gflop"] == 1000.0
+    assert rep["tflops_per_s"] == pytest.approx(10.0)
+    assert rep["mfu"] == pytest.approx(1e13 / 197e12, abs=1e-4)
+    assert rep["mfu"] > 0.05
+    # 8.19e10 B / 0.1 s = 819 GB/s = 100% of peak
+    assert rep["hbm_bw_util"] == pytest.approx(1.0, abs=1e-4)
 
 
 def test_segment_report_nan_peaks_json_safe():
@@ -60,3 +63,29 @@ def test_chip_generation_fallback_is_known_key():
     gen = roofline.chip_generation()
     assert gen in roofline.PEAKS
     assert not math.isnan(roofline.PEAKS["v5e"]["flops_bf16"])
+
+
+def test_time_amortized_separates_dispatch():
+    # bench.py / benchmarks/mfu.py derive MFU from kernel_s; the estimate
+    # must be non-negative, bounded by the single-call wall, and the
+    # parts must sum back to the single-call wall.
+    x = jnp.ones((64, 64), jnp.float32)
+    tm = roofline.time_amortized(lambda a: jnp.sum(a @ a), (x,),
+                                 reps=3, chain=4)
+    assert 0.0 <= tm["kernel_s"] <= tm["single_s"] + 1e-12
+    assert tm["dispatch_s"] >= 0.0
+    assert tm["kernel_s"] + tm["dispatch_s"] == pytest.approx(
+        tm["single_s"])
+    assert tm["chain"] == 4
+
+
+def test_chain_executable_preserves_value():
+    # the data-dependence perturbation is 1e-30-scale: the chained
+    # program's final scalar must equal the single call's
+    x = jnp.full((8, 8), 2.0, jnp.float32)
+    chained = roofline.chain_executable(lambda a: jnp.sum(a), x, length=5)
+    assert float(chained(x)) == pytest.approx(128.0)
+
+
+def test_measure_dispatch_floor_nonnegative():
+    assert roofline.measure_dispatch_floor(reps=3) >= 0.0
