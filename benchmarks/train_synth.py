@@ -119,7 +119,17 @@ def main():
                 with open(args.report) as fh:
                     rep = json.load(fh)
             epoch_s = [r["epoch_s"] for r in metrics if "epoch_s" in r]
-            rep.append({"wire": args.wire, "epochs": args.epochs,
+            hbm = None
+            try:  # live per-device HBM peak (VERDICT r3 #4: wall + HBM)
+                import jax
+                ms = jax.local_devices()[0].memory_stats() or {}
+                peak = ms.get("peak_bytes_in_use")
+                hbm = round(peak / 2.0**30, 2) if peak else None
+            except Exception:
+                pass
+            rep.append({"stage": args.stage,
+                        "hbm_peak_gib": hbm,
+                        "wire": args.wire, "epochs": args.epochs,
                         "aug_device": bool(args.aug_device),
                         "device_cache": bool(args.device_cache),
                         "steps": args.steps, "seed": args.seed,

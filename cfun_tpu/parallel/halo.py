@@ -118,6 +118,102 @@ def shard_map_unet(mesh, params: nn.Params, crops: jnp.ndarray, *,
                          out_specs=spec, **kw)(params, crops, dropout_key)
 
 
+def sharded_mask_losses(mesh, masks: jnp.ndarray, pos_valid: jnp.ndarray,
+                        mask_logits: jnp.ndarray, cfg, *, edge_on: bool,
+                        axis: str = "space"):
+    """Mask CE + Sobel-edge losses with crop D sharded over ``axis``.
+
+    Companion to :func:`shard_map_unet` (``cfg.shard_unet_spatial``): with
+    the U-Net's activations sharded over 'space', the LOSS side -- the
+    one-hot GT crops [P, mD, mH, mW, C], the CE intermediates and the edge
+    gradient maps, several GiB at finetune 192^3 -- was the residual
+    replicated memory.  Running the loss math inside the same shard_map
+    makes every per-voxel tensor local; only two scalar psums cross ICI.
+    The in_spec on ``masks`` also lets GSPMD shard the one-hot crop
+    *production* (``targets.detection_targets``) backward from this
+    consumer.
+
+    Numerical parity with the dense ``losses.mask_loss`` /
+    ``losses.mask_edge_loss`` (same masked-mean semantics, reference
+    model.py:909-981) is pinned by tests/test_halo.py.  Returns
+    (mask_loss, edge_loss) replicated scalars; edge_loss is 0 when
+    ``edge_on`` is False.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from cfun_tpu.train import losses as L
+
+    n_shards = mesh.shape[axis]
+    p, md = masks.shape[0], masks.shape[1]
+    local_d = md // n_shards
+    if md % n_shards:
+        raise ValueError(
+            f"sharded_mask_losses: D={md} not divisible by {n_shards} "
+            f"'{axis}' shards")
+    per_class = cfg.name == "lits"
+    wvec = cfg.mask_class_weights
+
+    def body(t, v, q):
+        # t, q: [P, local_d, mH, mW, C] local shards; v: [P] replicated
+        # ---- voxelwise CE (losses.mask_loss semantics, gather-free) ----
+        ql = q.astype(jnp.float32)
+        ce = jax.nn.logsumexp(ql, axis=-1) - jnp.sum(ql * t, axis=-1)
+        valid = v[:, None, None, None].astype(ce.dtype)
+        if wvec is not None:
+            w = jnp.sum(t * jnp.asarray(wvec, ce.dtype), axis=-1) * valid
+        else:
+            w = jnp.broadcast_to(valid, ce.shape)
+        num = lax.psum(jnp.sum(ce * w), axis)
+        den = lax.psum(jnp.sum(w), axis)
+        mask_l = num / jnp.maximum(den, 1.0)
+
+        if not edge_on:
+            return mask_l, jnp.zeros((), jnp.float32)
+
+        # ---- Sobel edge loss (losses.mask_edge_loss semantics) ----
+        # dense _edge_maps is a VALID conv: global output centers are
+        # 1..D-2.  Each shard computes its local_d centers from a 1-plane
+        # halo; the two phantom centers (global 0 and D-1, fed zero halos
+        # at the outer edges) are masked out of the sums.
+        shard_i = lax.axis_index(axis)
+        gidx = shard_i * local_d + jnp.arange(local_d)
+        dmask = ((gidx >= 1) & (gidx <= md - 2)).astype(jnp.float32)
+        nvox = float((md - 2) * (t.shape[2] - 2) * (t.shape[3] - 2))
+
+        @jax.checkpoint
+        def roi_se(roi):
+            ti = lax.dynamic_index_in_dim(t, roi, 0, False)
+            qi = jax.nn.softmax(
+                lax.dynamic_index_in_dim(q, roi, 0, False).astype(
+                    jnp.float32), axis=-1)
+            t_fg = jnp.moveaxis(ti[..., 1:], -1, 0)  # [C-1, local_d, h, w]
+            q_fg = jnp.moveaxis(qi[..., 1:], -1, 0)
+            g_true = L._edge_maps(
+                exchange_halo(t_fg, axis, 1, axis=1))
+            g_pred = L._edge_maps(
+                exchange_halo(q_fg, axis, 1, axis=1))
+            dm = dmask[None, :, None, None, None]
+            if per_class:
+                return jnp.sum((g_pred - g_true) ** 2 * dm) / (nvox * 3.0)
+            eps = 1e-12
+            m_true = jnp.sqrt(jnp.sum(g_true ** 2, axis=-1) + eps)
+            m_pred = jnp.sqrt(jnp.sum(g_pred ** 2, axis=-1) + eps)
+            return jnp.sum((m_pred - m_true) ** 2
+                           * dm[..., 0]) / nvox
+
+        se = lax.psum(lax.map(roi_se, jnp.arange(p)), axis)
+        pos = v.astype(se.dtype)
+        edge_l = jnp.sum(se * pos) / jnp.maximum(jnp.sum(pos), 1.0)
+        return mask_l, edge_l
+
+    spec = P(None, axis)
+    auto = frozenset(mesh.axis_names) - {axis}
+    kw = {"axis_names": {axis}} if auto else {}
+    return jax.shard_map(body, mesh=mesh, in_specs=(spec, P(), spec),
+                         out_specs=(P(), P()), **kw)(
+        masks, pos_valid, mask_logits)
+
+
 def halo_conv3d(params: nn.Params, x: jnp.ndarray, axis_name: str,
                 stride=1, dtype=jnp.float32, shard_axis: int = 1
                 ) -> jnp.ndarray:

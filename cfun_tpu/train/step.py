@@ -194,13 +194,27 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
         if cfg.remat_unet:
             mask_fn = jax.checkpoint(mask_fn)
         mask_logits = mask_fn(params["mask"], crops)
-        out["mrcnn_mask_loss"] = L.mask_loss(tgt.masks, tgt.pos_valid,
-                                             mask_logits, cfg)
-        if edge_on:
-            mask_probs = jax.nn.softmax(mask_logits, axis=-1)
-            out["mrcnn_mask_edge_loss"] = L.mask_edge_loss(
-                tgt.masks, tgt.pos_valid, mask_probs, cfg,
-                per_class=(cfg.name == "lits"))
+        if shard_spatial:
+            # loss side sharded too: the one-hot GT crops, CE intermediates
+            # and Sobel edge maps (GiB-scale at finetune 192^3) stay local
+            # to each 'space' shard; parity vs the dense losses is pinned
+            # by tests/test_halo.py
+            from cfun_tpu.parallel.halo import sharded_mask_losses
+
+            mask_l, edge_l = sharded_mask_losses(
+                mesh, tgt.masks, tgt.pos_valid, mask_logits, cfg,
+                edge_on=edge_on)
+            out["mrcnn_mask_loss"] = mask_l
+            if edge_on:
+                out["mrcnn_mask_edge_loss"] = edge_l
+        else:
+            out["mrcnn_mask_loss"] = L.mask_loss(tgt.masks, tgt.pos_valid,
+                                                 mask_logits, cfg)
+            if edge_on:
+                mask_probs = jax.nn.softmax(mask_logits, axis=-1)
+                out["mrcnn_mask_edge_loss"] = L.mask_edge_loss(
+                    tgt.masks, tgt.pos_valid, mask_probs, cfg,
+                    per_class=(cfg.name == "lits"))
 
     return L.weighted_total(out, cfg), out
 

@@ -153,6 +153,58 @@ def test_sharded_unet_rejects_misaligned_depth():
         shard_map_unet(mesh, params, x, stage="beginning")
 
 
+def test_sharded_mask_losses_match_dense():
+    """sharded_mask_losses (shard_map over 'space': local CE sums + halo
+    Sobel maps + two scalar psums) must equal the dense losses.mask_loss /
+    mask_edge_loss on the gathered crops -- values AND logits-gradients,
+    for both the heart (magnitude) and LiTS (per-class, weighted-CE)
+    forms."""
+    from cfun_tpu.config import tiny_config
+    from cfun_tpu.parallel import make_mesh
+    from cfun_tpu.parallel.halo import sharded_mask_losses
+    from cfun_tpu.train import losses as L
+
+    mesh = make_mesh(2, space=2)
+    p_rois, d, h, w, c = 2, 16, 8, 8, 3
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, c, size=(p_rois, d, h, w))
+    masks = jnp.asarray(np.eye(c, dtype=np.float32)[labels])
+    logits = jnp.asarray(rng.normal(size=(p_rois, d, h, w, c))
+                         .astype(np.float32))
+    pos_valid = jnp.asarray([True, False])
+
+    cases = [
+        ("heart", tiny_config(), False),
+        ("lits", tiny_config().replace(name="lits", stage="finetune",
+                                       mask_class_weights=(1.0, 1.0, 100.0)),
+         True),
+    ]
+    for name, cfg, per_class in cases:
+        def dense_fn(lg):
+            ml = L.mask_loss(masks, pos_valid, lg, cfg)
+            el = L.mask_edge_loss(masks, pos_valid,
+                                  jax.nn.softmax(lg, axis=-1), cfg,
+                                  per_class=per_class)
+            return ml + 2.0 * el, (ml, el)
+
+        def shard_fn(lg):
+            ml, el = sharded_mask_losses(mesh, masks, pos_valid, lg, cfg,
+                                         edge_on=True)
+            return ml + 2.0 * el, (ml, el)
+
+        (dv, (dm, de)), dg = jax.value_and_grad(dense_fn, has_aux=True)(
+            logits)
+        (sv, (sm, se)), sg = jax.value_and_grad(shard_fn, has_aux=True)(
+            logits)
+        np.testing.assert_allclose(float(sm), float(dm), rtol=1e-5,
+                                   err_msg=f"{name} mask loss")
+        np.testing.assert_allclose(float(se), float(de), rtol=1e-5,
+                                   err_msg=f"{name} edge loss")
+        np.testing.assert_allclose(np.asarray(sg), np.asarray(dg),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"{name} grads")
+
+
 def test_train_step_shard_unet_spatial_matches_gspmd():
     """cfg.shard_unet_spatial swaps the mask branch to the explicit halo
     shard_map inside the full mesh train step (vmap + grad + donation);
