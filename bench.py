@@ -218,6 +218,38 @@ def main():
     except Exception as e:
         mfu["mfu_error"] = repr(e)[:200]
 
+    # Raw link-bandwidth probe (run LAST so its traffic does not contend
+    # with the timed reps): one 16 MB int8 device_put + completion
+    # readback, one 16 MB fetch.  On the tunneled axon backend this is the
+    # number that actually moves the headline between rounds (CLAUDE.md:
+    # 25-35 MB/s typical, observed swinging 2-3x hour to hour) -- with it
+    # in the JSON, a slow capture is attributable to the link, a fast one
+    # to the code.
+    link = {}
+    try:
+        import jax.numpy as jnp
+
+        buf = np.zeros(16 << 20, np.int8)
+        fsum = jax.jit(lambda x: x[::4096].astype(jnp.int32).sum())
+        dev = jax.device_put(buf)
+        int(fsum(dev))  # compile + warm
+        ups, downs = [], []
+        for i in range(3):
+            buf[i] = i + 1
+            t0 = time.perf_counter()
+            dev = jax.device_put(buf)
+            int(fsum(dev))
+            ups.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(dev)
+            downs.append(time.perf_counter() - t0)
+        link = {
+            "link_up_mbps": round(16 / float(np.median(ups)), 1),
+            "link_down_mbps": round(16 / float(np.median(downs)), 1),
+        }
+    except Exception as e:
+        link = {"link_error": repr(e)[:120]}
+
     from cfun_tpu import native
 
     print(json.dumps({
@@ -232,6 +264,7 @@ def main():
         **extras,
         **finetune,
         **mfu,
+        **link,
         "device": str(jax.devices()[0]),
     }))
 

@@ -119,6 +119,18 @@ def measure_family(family: str, reps: int = 5, chain: int = 8):
                             cost=None, gen=gen, reps=reps, chain=chain)
     unet_cost = rows["unet"]["cost"]
 
+    # finetune-stage U-Net (the reference's published-quality path): same
+    # crop, 2x upscale head doubling the output res (mask_branch.py:216-218)
+    def unet_ft_fn(p, c):
+        return jnp.sum(apply_mask_head(
+            p["mask"], c, stage="finetune",
+            dtype=jnp.dtype(cfg.compute_dtype)).astype(jnp.float32))
+
+    if cfg.stage != "finetune":
+        rows["unet_finetune"] = _segment(unet_ft_fn, (params, crops),
+                                         perturb=1, cost=None, gen=gen,
+                                         reps=reps, chain=chain)
+
     # same math, Pallas-fused lowering; FLOP basis = the XLA graph's count
     def unet_fused_fn(p, c):
         return jnp.sum(apply_mask_head(

@@ -74,13 +74,20 @@ def main():
 
     # upscale head alone on a representative 'out' tensor
     out_lo = jnp.asarray(rng.normal(size=(n, md, mh, mw, nc)), dt)
-    wup = params["mask"]["out_upscale"]
+    wup = params["mask"]["unet"]["out_upscale"]
 
     def head_fn(p, o):
         up = nn.upsample_nearest(o)
         return jnp.sum((up + nn.conv3d(p, up, dtype=dt))
                        .astype(jnp.float32))
     seg("upscale_head", head_fn, (wup, out_lo), perturb=1)
+
+    # the lhs-dilated rewrite (nn.upsample2_conv_residual): same math, no
+    # materialized high-res tensor
+    def head_fused_fn(p, o):
+        return jnp.sum(nn.upsample2_conv_residual(p, o, dtype=dt)
+                       .astype(jnp.float32))
+    seg("upscale_head_dilated", head_fused_fn, (wup, out_lo), perturb=1)
 
     # deep-supervision tail: ds2 at 1/4 res (C=8*base), ds3 at 1/2 res
     base = cfg.unet_base_channels
@@ -89,7 +96,8 @@ def main():
     ds3 = jnp.asarray(rng.normal(
         size=(n, md // 2, mh // 2, mw // 2, 4 * base)), dt)
     out_pred = jnp.asarray(rng.normal(size=(n, md, mh, mw, nc)), dt)
-    p_ds2, p_ds3 = params["mask"]["ds2"], params["mask"]["ds3"]
+    p_ds2 = params["mask"]["unet"]["ds2"]
+    p_ds3 = params["mask"]["unet"]["ds3"]
 
     def ds_fn(pa, pb, d2, d3, op):
         ds2_up = nn.upsample_nearest(nn.conv3d(pa, d2, dtype=dt))

@@ -204,8 +204,8 @@ def apply_unet_fused(params: nn.Params, x: jnp.ndarray, *, stage: str,
     out = out_pred + nn.upsample_nearest(ds2_up + ds3_c)
 
     if stage == "finetune":
-        up = nn.upsample_nearest(out)
-        out = up + conv(params["out_upscale"], up)
+        out = nn.upsample2_conv_residual(params["out_upscale"], out,
+                                         dtype=dtype)
     return out
 
 
@@ -319,6 +319,20 @@ def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
     out = out_pred + nn.upsample_nearest(ds2_up + ds3_c)
 
     if stage == "finetune":
-        up = nn.upsample_nearest(out)
-        out = up + conv(params["out_upscale"], up)
+        if axis_name is None:
+            # `up + conv(up)` as one lhs-dilated conv: skips writing,
+            # re-reading and holding (VJP) the model's largest activation
+            # -- the 2x-upsampled class-channel tensor, whose C=classes
+            # lane-pads to 128 on TPU (see nn.upsample2_conv_residual;
+            # measured on the LiTS finetune U-Net in
+            # benchmarks/unet_segments.json)
+            out = nn.upsample2_conv_residual(params["out_upscale"], out,
+                                             dtype=dtype)
+        else:
+            # sharded path: halo_conv3d handles the halo bookkeeping for
+            # the explicit upsample+conv form; the dilated form would need
+            # its own (1-voxel source) halo rule for no memory win -- the
+            # big tensor here is already D-sharded
+            up = nn.upsample_nearest(out)
+            out = up + conv(params["out_upscale"], up)
     return out

@@ -255,6 +255,67 @@ def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return x
 
 
+def upsample2_conv_residual(p: Params, x: jnp.ndarray,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """``up + conv3d(p, up)`` with ``up = upsample_nearest(x)`` -- the
+    finetune 2x upscale head (reference mask_branch.py:216-218) -- as one
+    phase-decomposed conv, without ever materializing ``up``.
+
+    Why it matters: ``up`` is the model's largest activation (heart
+    finetune [N, 192^3, 8], LiTS [N, 64, 160, 160, 3]) at a class-count
+    channel width, which lane-pads to 128 on TPU -- writing it, reading it
+    twice (residual add + conv input), and holding it for the VJP is pure
+    HBM traffic the algebra below deletes.  Measured on the LiTS head
+    (benchmarks/unet_segments.json): explicit form 100 ms kernel time.
+
+    Derivation (per axis, size n -> 2n, odd k): ``up[2i+q] = x[i]``, so a
+    correlation with ``W' = w + delta_center`` (the residual folded into
+    the center tap) over ``up`` equals, on the dilation-2 grid of ``x``, a
+    (k+1)-tap correlation with ``K[t] = W'[t] + W'[t-1]`` (W' zero-padded)
+    and symmetric padding k//2 + 1 -- verified tap-by-tap for k=5 /
+    pad 2 ('torch'): K has 6 taps, padding (3, 3), output size exactly 2n.
+    The lhs-dilated conv with K still lowers poorly at class-count
+    channels (59 ms measured), so the phases are decomposed by hand: on
+    the dilation-2 grid, output phase q (per axis) taps K at strides of
+    2 -- ``K_q[delta] = K[2*delta + k//2 + 1 - q]`` -- making the whole
+    head ONE stride-1 3^3 conv with C_out = 8 * classes (the MXU sees 8x
+    the lanes) followed by a depth-to-space interleave.
+    """
+    w = jnp.asarray(p["w"], jnp.float32)  # [kd, kh, kw, cin, cout]
+    # (jnp.asarray, not .astype: callers may pass host-numpy param trees)
+    kd, kh, kw, ci, co = w.shape
+    w = w.at[kd // 2, kh // 2, kw // 2].add(jnp.eye(ci, co, dtype=w.dtype))
+    for ax in range(3):
+        lo = [(0, 0)] * 5
+        hi = [(0, 0)] * 5
+        lo[ax] = (1, 0)
+        hi[ax] = (0, 1)
+        w = jnp.pad(w, lo) + jnp.pad(w, hi)  # K[t] = W'[t] + W'[t-1]
+    # phase kernels: K_q[delta] = K[2*delta + k//2 + 1 - q] per axis,
+    # delta in {-1, 0, 1} -- strided slices of the composed kernel.
+    # Channel order (qd, qh, qw, cout), phase-major, matches the
+    # depth-to-space reshape below.
+    c = kd // 2 + 1  # composed-kernel center offset (3 for k=5)
+    phases = []
+    for qd in (0, 1):
+        for qh in (0, 1):
+            for qw in (0, 1):
+                phases.append(w[c - 2 - qd::2, :, :][:3][:,
+                              c - 2 - qh::2, :][:, :3][:, :,
+                              c - 2 - qw::2][:, :, :3])
+    wp = jnp.concatenate(phases, axis=-1)  # [3, 3, 3, ci, 8*co]
+    n, d, h, ww_, _ = x.shape
+    y = lax.conv_general_dilated(
+        x.astype(dtype), wp.astype(dtype),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=_DN,
+    )  # [n, d, h, w, 8*co]
+    y = y.reshape(n, d, h, ww_, 2, 2, 2, co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(n, 2 * d, 2 * h, 2 * ww_, co)
+
+
 def channel_dropout(key, x: jnp.ndarray, rate: float,
                     deterministic: bool) -> jnp.ndarray:
     """torch Dropout3d: zero entire channels (mask_branch.py:19)."""

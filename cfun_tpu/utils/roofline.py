@@ -159,7 +159,12 @@ def segment_report(seconds: float, flops: float,
                    gen: Optional[str] = None) -> Dict[str, float]:
     """Roofline numbers for one timed segment."""
     peaks = PEAKS[gen or chip_generation()]
-    tflops = flops / seconds / 1e12 if seconds > 0 else float("nan")
+    if seconds <= 0:
+        # a chained measurement can resolve to 0 kernel time when the
+        # segment is pure dispatch (chain_s <= single_s under jitter)
+        return {"seconds": 0.0, "gflop": round(flops / 1e9, 2),
+                "tflops_per_s": None, "mfu": None}
+    tflops = flops / seconds / 1e12
     out = {
         "seconds": round(seconds, 5),
         "gflop": round(flops / 1e9, 2) if flops == flops else None,
