@@ -65,7 +65,8 @@ def init_mask_head(key, cfg) -> nn.Params:
 
 def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
                     dropout_rate: float = 0.0, dropout_key=None,
-                    dtype=jnp.float32, fused: bool = False) -> jnp.ndarray:
+                    dtype=jnp.float32, fused: bool = False,
+                    head_impl: str = "phase") -> jnp.ndarray:
     """crops: [N, D, H, W, 1] raw-image crops -> logits
     [N, D', H', W', num_classes] (D' = 2D in finetune), in the compute
     dtype (an f32 copy of a [4, 192^3, 8] stack is ~1 GB; consumers
@@ -73,6 +74,10 @@ def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
 
     ``fused=True`` (inference only, Config.pallas_unet): lower to the
     fused Pallas conv+IN+LReLU graph (models/unet3d.py::apply_unet_fused).
+
+    ``head_impl``: finetune upscale-head schedule -- 'phase' (default,
+    the 39x inference form) or 'explicit' (the train step's choice: lower
+    peak HBM inside fwd+bwd; see models/unet3d.py).
     """
     if fused:
         from cfun_tpu.models.unet3d import apply_unet_fused
@@ -88,4 +93,4 @@ def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
                                 dtype=dtype)
     return apply_unet(params["unet"], crops, stage=stage,
                       dropout_rate=dropout_rate, dropout_key=dropout_key,
-                      dtype=dtype)
+                      dtype=dtype, head_impl=head_impl)

@@ -211,8 +211,8 @@ def apply_unet_fused(params: nn.Params, x: jnp.ndarray, *, stage: str,
 
 def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
                dropout_rate: float = 0.0, dropout_key=None,
-               dtype=jnp.float32, axis_name: str | None = None
-               ) -> jnp.ndarray:
+               dtype=jnp.float32, axis_name: str | None = None,
+               head_impl: str = "explicit") -> jnp.ndarray:
     """x: [B, D, H, W, c_in] crop -> class logits [B, D', H', W', n_classes]
     where D' = D (or 2D in finetune).
 
@@ -319,20 +319,22 @@ def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
     out = out_pred + nn.upsample_nearest(ds2_up + ds3_c)
 
     if stage == "finetune":
-        if axis_name is None:
-            # `up + conv(up)` as one lhs-dilated conv: skips writing,
-            # re-reading and holding (VJP) the model's largest activation
-            # -- the 2x-upsampled class-channel tensor, whose C=classes
-            # lane-pads to 128 on TPU (see nn.upsample2_conv_residual;
-            # measured on the LiTS finetune U-Net in
-            # benchmarks/unet_segments.json)
+        if axis_name is None and head_impl == "phase":
+            # INFERENCE head: `up + conv(up)` phase-decomposed into one
+            # 3^3 conv + depth-to-space -- skips writing and re-reading
+            # the 2x-upsampled class-channel tensor, whose C=classes
+            # lane-pads to 128 on TPU (nn.upsample2_conv_residual;
+            # 100 -> 2.6 ms kernel, benchmarks/unet_segments.json).
+            # The TRAIN step keeps the explicit form: inside fwd+bwd the
+            # phase form's depth-to-space VJP costs MORE peak HBM
+            # (+1.35 GiB, an on-chip compile OOM at heart finetune's
+            # 15.3 GB) than the saved `up` buffer.
             out = nn.upsample2_conv_residual(params["out_upscale"], out,
                                              dtype=dtype)
         else:
-            # sharded path: halo_conv3d handles the halo bookkeeping for
-            # the explicit upsample+conv form; the dilated form would need
-            # its own (1-voxel source) halo rule for no memory win -- the
-            # big tensor here is already D-sharded
+            # explicit form: train step (memory-bounded, see above) and
+            # the sharded path (its big tensor is already D-sharded and
+            # halo_conv3d owns the halo bookkeeping)
             up = nn.upsample_nearest(out)
             out = up + conv(params["out_upscale"], up)
     return out

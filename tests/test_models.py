@@ -71,3 +71,50 @@ def test_infer_forward_jits_and_is_finite(tiny):
     det = np.asarray(out.detections)
     kept = np.asarray(out.det_valid)
     assert np.all(det[~kept, 6] == 0)
+
+
+def test_upsample2_conv_residual_matches_explicit():
+    """The phase-decomposed finetune upscale head (nn.upsample2_conv_residual)
+    computes exactly `up + conv5(up)`, up = nearest-2x upsample -- values AND
+    both gradients, at both model class counts (LiTS 3, heart 8) and in both
+    compute dtypes (reference mask_branch.py:216-218)."""
+    from cfun_tpu import nn
+
+    rng = np.random.default_rng(0)
+    for cc, shape in ((3, (2, 6, 8, 10)), (8, (1, 4, 6, 6))):
+        x = jnp.asarray(rng.normal(size=(*shape, cc)), jnp.float32)
+        p = {"w": jnp.asarray(rng.normal(size=(5, 5, 5, cc, cc)),
+                              jnp.float32) * 0.1}
+
+        def explicit(w, v, dt=jnp.float32):
+            up = nn.upsample_nearest(v)
+            return up + nn.conv3d({"w": w}, up, dtype=dt)
+
+        ref = explicit(p["w"], x)
+        out = nn.upsample2_conv_residual(p, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-5)
+
+        # gradients (the head trains in the finetune stage)
+        g_ref = jax.grad(lambda w, v: jnp.sum(jnp.tanh(explicit(w, v))),
+                         argnums=(0, 1))(p["w"], x)
+        g_new = jax.grad(
+            lambda w, v: jnp.sum(jnp.tanh(
+                nn.upsample2_conv_residual({"w": w}, v))),
+            argnums=(0, 1))(p["w"], x)
+        for a, b in zip(g_ref, g_new):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=1e-4)
+
+        # bf16 compute path stays close to the f32 reference
+        out_bf = nn.upsample2_conv_residual(p, x, dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out_bf, dtype=np.float32), np.asarray(ref),
+            atol=0.15, rtol=0.05)
+
+        # host-numpy param trees (checkpoint loads) must work too
+        out_np = nn.upsample2_conv_residual(
+            {"w": np.asarray(p["w"])}, x)
+        np.testing.assert_allclose(np.asarray(out_np), np.asarray(out),
+                                   atol=1e-6)
