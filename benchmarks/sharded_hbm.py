@@ -34,8 +34,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS", "--xla_force_host_platform_device_count=2")
+# virtual device count must cover --space, and it must be set BEFORE jax
+# imports -- pre-scan argv rather than pinning 2 (which silently capped
+# the advertised --space parameter)
+_space = 2
+for _i, _a in enumerate(sys.argv):
+    if _a == "--space" and _i + 1 < len(sys.argv):
+        _space = max(2, int(sys.argv[_i + 1]))
+    elif _a.startswith("--space="):
+        _space = max(2, int(_a.split("=", 1)[1]))
+if "--xla_force_host_platform_device_count" not in \
+        os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count="
+                               f"{_space}").strip()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -34,12 +34,20 @@ def _cpu_fingerprint() -> str:
         model, flags = "", ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if not model and line.startswith("model name"):
+                # x86: 'model name'/'flags'; ARM: 'Processor'|'CPU part'
+                # and 'Features'
+                if not model and line.startswith(
+                        ("model name", "Processor", "CPU part")):
                     model = line.split(":", 1)[1].strip()
-                elif not flags and line.startswith("flags"):
+                elif not flags and line.startswith(("flags", "Features")):
                     flags = line.split(":", 1)[1].strip()
                 if model and flags:
                     break
+        if not model and not flags:
+            # cpuinfo read fine but used other field names (ARM:
+            # 'Processor'/'Features') -- a constant '|' hash would make
+            # every such host look identical and defeat the check
+            raise OSError("unrecognized /proc/cpuinfo field names")
         import hashlib
         return hashlib.sha256(f"{model}|{flags}".encode()).hexdigest()[:16]
     except OSError:

@@ -284,6 +284,13 @@ def upsample2_conv_residual(p: Params, x: jnp.ndarray,
     w = jnp.asarray(p["w"], jnp.float32)  # [kd, kh, kw, cin, cout]
     # (jnp.asarray, not .astype: callers may pass host-numpy param trees)
     kd, kh, kw, ci, co = w.shape
+    if (kd, kh, kw) != (5, 5, 5):
+        # the phase-slice arithmetic below ([:3] taps, (1,1) padding) is
+        # the k=5 instance of the derivation; other sizes would return
+        # shape-correct but WRONG logits silently
+        raise ValueError(f"upsample2_conv_residual implements the k=5 "
+                         f"head (reference mask_branch.py:216-218); got "
+                         f"kernel {(kd, kh, kw)}")
     w = w.at[kd // 2, kh // 2, kw // 2].add(jnp.eye(ci, co, dtype=w.dtype))
     for ax in range(3):
         lo = [(0, 0)] * 5
@@ -314,6 +321,66 @@ def upsample2_conv_residual(p: Params, x: jnp.ndarray,
     y = y.reshape(n, d, h, ww_, 2, 2, 2, co)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return y.reshape(n, 2 * d, 2 * h, 2 * ww_, co)
+
+
+def upsample2_conv(p: Params, x: jnp.ndarray,
+                   dtype=jnp.float32) -> jnp.ndarray:
+    """``conv3d(p, upsample_nearest(x))`` for a 3^3 SAME kernel as one
+    phase-decomposed conv + depth-to-space, never materializing the
+    2x-upsampled input -- the decoder up-conv of the mask U-Net
+    (reference mask_branch.py:150-153, ``norm_lrelu_upscale_conv...``).
+
+    Per axis: ``up[2i+q] = x[i]``, so the 3-tap correlation at output
+    2i+q collapses to two source taps --
+    q=0: ``w0*x[i-1] + (w1+w2)*x[i]``; q=1: ``(w0+w1)*x[i] + w2*x[i+1]``
+    (the composed 4-tap kernel K[t] = w[t] + w[t-1] strided by phase).
+    Embedding each phase's 2 taps in a zero-padded 3-tap kernel keeps all
+    8 phases in ONE stride-1 3^3 conv with C_out = 8*cout (8x the MXU
+    lanes at the U-Net's narrow channel counts), followed by a
+    depth-to-space interleave.  Differs from the explicit form only by
+    fp reassociation of the folded tap sums.
+    """
+    w = jnp.asarray(p["w"], jnp.float32)  # [3, 3, 3, ci, co]
+    if w.shape[:3] != (3, 3, 3):
+        raise ValueError(f"upsample2_conv implements the k=3 up-conv; "
+                         f"got kernel {w.shape[:3]}")
+    co = w.shape[-1]
+    for ax in range(3):
+        lo = [(0, 0)] * 5
+        hi = [(0, 0)] * 5
+        lo[ax] = (1, 0)
+        hi[ax] = (0, 1)
+        w = jnp.pad(w, lo) + jnp.pad(w, hi)  # K[t] = w[t] + w[t-1]
+
+    def phase(k, ax, q):
+        # phase q keeps K[q::2] (2 taps) at window positions {0,1} (q=0)
+        # / {1,2} (q=1) of a zero-padded 3-tap kernel
+        taps = lax.slice_in_dim(k, q, q + 3, stride=2, axis=ax)
+        pad = [(0, 0)] * 5
+        pad[ax] = (q, 1 - q)
+        return jnp.pad(taps, pad)
+
+    phases = []
+    for qd in (0, 1):
+        wd = phase(w, 0, qd)
+        for qh in (0, 1):
+            wh = phase(wd, 1, qh)
+            for qw in (0, 1):
+                phases.append(phase(wh, 2, qw))
+    wp = jnp.concatenate(phases, axis=-1)  # [3, 3, 3, ci, 8*co]
+    n, d, h, ww_, _ = x.shape
+    y = lax.conv_general_dilated(
+        x.astype(dtype), wp.astype(dtype),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=_DN,
+    )  # [n, d, h, w, 8*co], phase-major channel order
+    y = y.reshape(n, d, h, ww_, 2, 2, 2, co)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    out = y.reshape(n, 2 * d, 2 * h, 2 * ww_, co)
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
 
 
 def channel_dropout(key, x: jnp.ndarray, rate: float,

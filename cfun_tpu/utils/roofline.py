@@ -121,10 +121,8 @@ def time_amortized(fn: Callable, args: Sequence, *, perturb: int = 0,
         t0 = time.perf_counter()
         float(chained(*args))
         tn.append(time.perf_counter() - t0)
-    t1.sort()
-    tn.sort()
-    single_s = t1[len(t1) // 2]
-    chain_s = tn[len(tn) // 2]
+    single_s = _median(t1)
+    chain_s = _median(tn)
     kernel_s = max(chain_s - single_s, 0.0) / max(chain - 1, 1)
     # a kernel can't be slower than its own single call (dispatch >= 0);
     # tunnel jitter on chain_s can otherwise push the estimate past it
@@ -136,6 +134,17 @@ def time_amortized(fn: Callable, args: Sequence, *, perturb: int = 0,
         "dispatch_s": max(single_s - kernel_s, 0.0),
         "chain": chain,
     }
+
+
+def _median(xs) -> float:
+    """True median (mean of the middle pair for even counts) -- the
+    sorted[n//2] shortcut is the UPPER-middle element, which through
+    tunnel jitter biases small even samples upward (with 2 samples it is
+    the maximum)."""
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else 0.5 * (s[mid - 1] + s[mid])
 
 
 def measure_dispatch_floor(reps: int = 7) -> float:
@@ -150,8 +159,7 @@ def measure_dispatch_floor(reps: int = 7) -> float:
         t0 = time.perf_counter()
         float(one(x))
         ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+    return _median(ts)
 
 
 def segment_report(seconds: float, flops: float,
@@ -161,9 +169,16 @@ def segment_report(seconds: float, flops: float,
     peaks = PEAKS[gen or chip_generation()]
     if seconds <= 0:
         # a chained measurement can resolve to 0 kernel time when the
-        # segment is pure dispatch (chain_s <= single_s under jitter)
-        return {"seconds": 0.0, "gflop": round(flops / 1e9, 2),
-                "tflops_per_s": None, "mfu": None}
+        # segment is pure dispatch (chain_s <= single_s under jitter);
+        # keep the same NaN guards and key schema as the normal path
+        # (bare NaN tokens would break the driver-contract JSON line)
+        out = {"seconds": 0.0,
+               "gflop": round(flops / 1e9, 2) if flops == flops else None,
+               "tflops_per_s": None, "mfu": None}
+        if bytes_accessed == bytes_accessed:
+            out["gbytes"] = round(bytes_accessed / 1e9, 3)
+            out["hbm_bw_util"] = None
+        return out
     tflops = flops / seconds / 1e12
     out = {
         "seconds": round(seconds, 5),

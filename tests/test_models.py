@@ -118,3 +118,60 @@ def test_upsample2_conv_residual_matches_explicit():
             {"w": np.asarray(p["w"])}, x)
         np.testing.assert_allclose(np.asarray(out_np), np.asarray(out),
                                    atol=1e-6)
+
+
+def test_upsample2_conv_matches_explicit():
+    """The phase-decomposed decoder up-conv (nn.upsample2_conv) computes
+    exactly `conv3(upsample_nearest(x))` -- values AND both gradients, at
+    decoder channel pairs (reference mask_branch.py:150-153), with and
+    without bias, plus the bf16 path and host-numpy param trees."""
+    from cfun_tpu import nn
+
+    rng = np.random.default_rng(1)
+    for ci, co, shape in ((4, 8, (2, 5, 6, 7)), (8, 4, (1, 4, 6, 6))):
+        x = jnp.asarray(rng.normal(size=(*shape, ci)), jnp.float32)
+        p = {"w": jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)),
+                              jnp.float32) * 0.1}
+
+        def explicit(w, v, dt=jnp.float32):
+            return nn.conv3d({"w": w}, nn.upsample_nearest(v), dtype=dt)
+
+        ref = explicit(p["w"], x)
+        out = nn.upsample2_conv(p, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=1e-5)
+
+        # gradients (decoder up-convs train in every stage)
+        g_ref = jax.grad(lambda w, v: jnp.sum(jnp.tanh(explicit(w, v))),
+                         argnums=(0, 1))(p["w"], x)
+        g_new = jax.grad(
+            lambda w, v: jnp.sum(jnp.tanh(nn.upsample2_conv({"w": w}, v))),
+            argnums=(0, 1))(p["w"], x)
+        for a, b in zip(g_ref, g_new):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=1e-4)
+
+        # bf16 compute path stays close to the f32 reference
+        out_bf = nn.upsample2_conv(p, x, dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out_bf, dtype=np.float32), np.asarray(ref),
+            atol=0.15, rtol=0.05)
+
+        # host-numpy param trees (checkpoint loads) must work too
+        out_np = nn.upsample2_conv({"w": np.asarray(p["w"])}, x)
+        np.testing.assert_allclose(np.asarray(out_np), np.asarray(out),
+                                   atol=1e-6)
+
+    # bias form (not used by the U-Net's bias-free convs, but part of the
+    # layer contract) and the non-3^3 guard
+    pb = {"w": jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)), jnp.float32),
+          "b": jnp.asarray(rng.normal(size=(6,)), jnp.float32)}
+    xb = jnp.asarray(rng.normal(size=(1, 3, 4, 5, 4)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(nn.upsample2_conv(pb, xb)),
+        np.asarray(nn.conv3d(pb, nn.upsample_nearest(xb))),
+        atol=5e-5, rtol=1e-5)
+    with pytest.raises(ValueError):
+        nn.upsample2_conv(
+            {"w": jnp.zeros((5, 5, 5, 2, 2), jnp.float32)}, xb[..., :2])
