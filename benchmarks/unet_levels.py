@@ -162,6 +162,38 @@ def main():
         return s(conv(p["l4_out"], out))
     seg("dec_l4_split", dec_l4_split, (params, a, b), perturb=1)
 
+    # ---- enc_l1 via the Pallas fused conv+IN+LReLU kernel (W-on-lanes
+    # layout, ops/pallas_conv.py): the whole-net fused graph loses to XLA
+    # (benchmarks/pallas_conv_timing.json), but enc_l1 is the one level
+    # where XLA moves ~6x the logical bytes -- test it in isolation
+    from cfun_tpu.ops.pallas_conv import fused_conv3d, identity_affine
+
+    def enc1_fused(p, x):
+        out = nn.conv3d_1ch(p["c1_1"], x, dtype=dt)
+        res_ = out
+        aff = identity_affine(out.shape[0], out.shape[-1])
+        # identity affine + pre_lrelu: the reference has plain lrelu (no
+        # IN) between the level-1 convs (mask_branch.py:131-134)
+        out, _ = fused_conv3d(out, p["c1_2"]["w"], aff[0], aff[1],
+                              pre_lrelu=True, out_dtype=dt)
+        out2, _ = fused_conv3d(out, p["c1_lrelu_conv"]["w"], aff[0], aff[1],
+                               pre_lrelu=True, out_dtype=dt)
+        out = out2 + res_
+        return s(nn.leaky_relu(nn.instance_norm(out)))
+    try:
+        seg("enc_l1_fused", enc1_fused, (params, x1), perturb=1)
+    except Exception as e:  # keep the sweep alive if the kernel rejects
+        print("enc_l1_fused failed:", e)
+
+    # ---- whole U-Net body, explicit vs phase decoder up-convs
+    from cfun_tpu.models.unet3d import apply_unet
+
+    for impl in ("explicit", "phase"):
+        def unet_fn(p, c, _impl=impl):
+            return s(apply_unet(p, c, stage="finetune", dtype=dt,
+                                head_impl="phase", up_impl=_impl))
+        seg(f"unet_body_{impl}", unet_fn, (params, x1), perturb=1)
+
     res = {"chip": gen, "dispatch_floor_ms":
            round(measure_dispatch_floor() * 1e3, 2),
            "shapes": {"crops": [n, md, mh, mw, 1], "base": base},

@@ -66,7 +66,8 @@ def init_mask_head(key, cfg) -> nn.Params:
 def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
                     dropout_rate: float = 0.0, dropout_key=None,
                     dtype=jnp.float32, fused: bool = False,
-                    head_impl: str = "phase") -> jnp.ndarray:
+                    head_impl: str = "phase",
+                    up_impl: str = "phase") -> jnp.ndarray:
     """crops: [N, D, H, W, 1] raw-image crops -> logits
     [N, D', H', W', num_classes] (D' = 2D in finetune), in the compute
     dtype (an f32 copy of a [4, 192^3, 8] stack is ~1 GB; consumers
@@ -78,6 +79,10 @@ def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
     ``head_impl``: finetune upscale-head schedule -- 'phase' (default,
     the 39x inference form) or 'explicit' (the train step's choice: lower
     peak HBM inside fwd+bwd; see models/unet3d.py).
+
+    ``up_impl``: decoder up-conv schedule -- 'phase' (default: large
+    up-convs lower to nn.upsample2_conv, 2.3x on the LiTS l3 block) or
+    'explicit' (the train step's choice, matching head_impl).
     """
     if fused:
         from cfun_tpu.models.unet3d import apply_unet_fused
@@ -93,4 +98,4 @@ def apply_mask_head(params: nn.Params, crops: jnp.ndarray, *, stage: str,
                                 dtype=dtype)
     return apply_unet(params["unet"], crops, stage=stage,
                       dropout_rate=dropout_rate, dropout_key=dropout_key,
-                      dtype=dtype, head_impl=head_impl)
+                      dtype=dtype, head_impl=head_impl, up_impl=up_impl)

@@ -212,7 +212,8 @@ def apply_unet_fused(params: nn.Params, x: jnp.ndarray, *, stage: str,
 def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
                dropout_rate: float = 0.0, dropout_key=None,
                dtype=jnp.float32, axis_name: str | None = None,
-               head_impl: str = "explicit") -> jnp.ndarray:
+               head_impl: str = "explicit",
+               up_impl: str = "explicit") -> jnp.ndarray:
     """x: [B, D, H, W, c_in] crop -> class logits [B, D', H', W', n_classes]
     where D' = D (or 2D in finetune).
 
@@ -254,7 +255,22 @@ def apply_unet(params: nn.Params, x: jnp.ndarray, *, stage: str,
         return nn.leaky_relu(inorm(conv(p, v)))
 
     def norm_lrelu_upscale_conv_norm_lrelu(p, v):
-        v = nn.upsample_nearest(nn.leaky_relu(inorm(v)))
+        nsp = v.shape[1] * v.shape[2] * v.shape[3]
+        v = nn.leaky_relu(inorm(v))
+        if axis_name is None and up_impl == "phase" and nsp >= 2048:
+            # INFERENCE decoder up-convs: `upsample -> 3^3 conv` as one
+            # phase-decomposed conv + depth-to-space (nn.upsample2_conv):
+            # 8x the MXU output lanes at the decoder's narrow channel
+            # counts and no materialized 2x tensor.  Measured per level
+            # (benchmarks/unet_levels.json, LiTS finetune shapes): l3
+            # 23.0 -> 10.2 ms, l2 3.2 -> 2.8 ms, but the tiny deep
+            # levels LOSE (l1 0.14 -> 0.84 ms: at 4x10x10 the 8x-wide
+            # conv is all padding), hence the spatial-size gate.  The
+            # TRAIN step keeps the explicit form (same reasoning as
+            # head_impl below); the sharded path's halo bookkeeping also
+            # stays explicit.
+            return nn.leaky_relu(inorm(nn.upsample2_conv(p, v, dtype=dtype)))
+        v = nn.upsample_nearest(v)
         return nn.leaky_relu(inorm(conv(p, v)))
 
     # ---- level 1 context

@@ -186,15 +186,16 @@ def train_forward(params, batch: TrainBatch, anchors: jnp.ndarray,
                     dtype=jnp.dtype(cfg.compute_dtype))
         else:
             def mask_fn(p, c):
-                # head_impl='explicit': inside fwd+bwd the phase-decomposed
-                # upscale head costs MORE peak HBM than the explicit form
-                # (heart finetune compile-OOMed at +1.35 GiB); the phase
-                # form is the inference choice (models/unet3d.py)
+                # head_impl/up_impl='explicit': inside fwd+bwd the
+                # phase-decomposed forms cost MORE peak HBM than the
+                # explicit graph (the head compile-OOMed heart finetune
+                # at +1.35 GiB); the phase forms are the inference choice
+                # (models/unet3d.py)
                 return apply_mask_head(
                     p, c, stage=cfg.stage,
                     dropout_rate=cfg.unet_dropout_rate,
                     dropout_key=k_drop, dtype=jnp.dtype(cfg.compute_dtype),
-                    head_impl="explicit")
+                    head_impl="explicit", up_impl="explicit")
 
         if cfg.remat_unet:
             mask_fn = jax.checkpoint(mask_fn)

@@ -175,3 +175,18 @@ def test_upsample2_conv_matches_explicit():
     with pytest.raises(ValueError):
         nn.upsample2_conv(
             {"w": jnp.zeros((5, 5, 5, 2, 2), jnp.float32)}, xb[..., :2])
+
+
+def test_unet_up_impl_phase_matches_explicit():
+    """apply_unet(up_impl='phase') -- all four decoder up-convs via the
+    phase-decomposed nn.upsample2_conv -- equals the explicit
+    upsample->conv graph in every stage (fp-reassociation tolerance)."""
+    rng = np.random.default_rng(3)
+    p = init_unet(jax.random.PRNGKey(5), 1, 3, base=4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 1)), jnp.float32)
+    for stage in ("beginning", "together", "finetune"):
+        ref = apply_unet(p, x, stage=stage)
+        got = apply_unet(p, x, stage=stage, up_impl="phase")
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
