@@ -8,6 +8,14 @@ localizes, transfer the checkpoint (key-filtered load, the reference's
 stage-transfer path), then execute N real optimizer steps of 'together'
 and 'finetune' recording s/step wall, loss trajectory and HBM peak.
 
+Round 5: sources default to REAL LiTS sizes (512x512x420 -- the shape
+round 2 measured 2.32 s/step feeder-bound) with the epoch-constant
+rotation ACTIVE, exercising the fused native rotation+mold train path
+(native/host_ops.cc::lits_train_mold_q8; the round-4-weak-#2 fix).  A
+host-side before/after microbench of the feeder item (two-pass rotate ->
+mold chain vs the fused kernel) is recorded alongside the on-chip
+s/step.
+
 Axon env (CLAUDE.md), ONE TPU process at a time:
     python benchmarks/lits_train_steps.py --begin-epochs 3 --steps 10
 """
@@ -59,7 +67,51 @@ class SyntheticLiTS:
         return self._vols[i][1]
 
 
-def run_stage(stage, ckpt, steps, feeder_src):
+def feeder_item_microbench(feeder_src, angle, reps=3):
+    """Host wall of ONE feeder item at real source sizes: the fused
+    rotation+mold path vs the two-pass fallback (rotate_hw raw copies,
+    then mold) -- the before/after of the round-5 fast path.  Outputs are
+    asserted bit-identical."""
+    import cfun_tpu.native as nat
+    from cfun_tpu.config import lits_config
+    from cfun_tpu.data.feeder import TrainFeeder
+    from cfun_tpu.ops.anchors import config_anchors
+
+    cfg = lits_config("beginning")
+    anchors = config_anchors(cfg)
+    feeder = TrainFeeder(feeder_src, cfg, anchors, seed=7, num_workers=1)
+
+    def time_item(tag):
+        walls = []
+        item = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            item = feeder.make_item(0, angle=angle, seed=11)
+            walls.append(time.perf_counter() - t0)
+        return {"median_s": round(float(np.median(walls)), 3),
+                "min_s": round(float(np.min(walls)), 3)}, item
+
+    fused_t, fused_item = time_item("fused")
+    saved = (nat.lits_train_mold_q8, nat.lits_train_mold,
+             nat.lits_train_labels)
+    nat.lits_train_mold_q8 = nat.lits_train_mold = \
+        nat.lits_train_labels = lambda *a, **k: None
+    try:
+        twopass_t, twopass_item = time_item("two_pass")
+    finally:
+        (nat.lits_train_mold_q8, nat.lits_train_mold,
+         nat.lits_train_labels) = saved
+    feeder.close()
+    for name, a, b in zip(fused_item._fields, fused_item, twopass_item):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    return {"angle_deg": angle, "fused": fused_t, "two_pass": twopass_t,
+            "speedup": round(twopass_t["median_s"] /
+                             max(fused_t["median_s"], 1e-9), 1),
+            "native_threads": nat.num_threads(), "bit_identical": True}
+
+
+def run_stage(stage, ckpt, steps, feeder_src, angle=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -87,7 +139,7 @@ def run_stage(stage, ckpt, steps, feeder_src):
     losses, mask_losses, walls = [], [], []
     first_wall = None
     batch = None
-    for i, item in enumerate(feeder.epoch(0.0, steps)):
+    for i, item in enumerate(feeder.epoch(angle, steps)):
         batch = jax.tree.map(jnp.asarray, item)
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
@@ -113,7 +165,8 @@ def run_stage(stage, ckpt, steps, feeder_src):
                "output_gib": round(ma.output_size_in_bytes / 2**30, 2)}
     except Exception as e:
         mem = {"error": repr(e)[:150]}
-    return {"stage": stage, "compile_step_s": round(first_wall or 0, 2),
+    return {"stage": stage, "angle_deg": angle,
+            "compile_step_s": round(first_wall or 0, 2),
             "s_per_step": round(float(np.median(walls)), 3) if walls else None,
             "losses": [round(v, 3) for v in losses],
             "mask_losses": [round(v, 4) for v in mask_losses],
@@ -127,26 +180,37 @@ def main():
     ap.add_argument("--steps", default=10, type=int)
     ap.add_argument("--skip-beginning", default=None,
                     help="path to an existing beginning-stage ckpt")
+    ap.add_argument("--host-shape", default="512,512,420",
+                    help="raw source (H, W, D) -- default is the real LiTS "
+                         "size round 2 measured feeder-bound")
+    ap.add_argument("--angle", default=17.0, type=float,
+                    help="epoch rotation angle (0 disables augmentation)")
+    ap.add_argument("--n-volumes", default=4, type=int)
     args = ap.parse_args()
 
     from cfun_tpu.config import lits_config
     from cfun_tpu.train.loop import train_model
 
-    src = SyntheticLiTS()
+    host_shape = tuple(int(v) for v in args.host_shape.split(","))
+    src = SyntheticLiTS(n=args.n_volumes, host_shape=host_shape)
+    micro = feeder_item_microbench(src, args.angle)
+    print(json.dumps({"feeder_item": micro, "host_shape": host_shape}))
+
     ckpt = args.skip_beginning
-    results = []
+    results = [{"host_shape": list(host_shape), "feeder_item": micro}]
     if not ckpt:
         cfg = lits_config("beginning", steps_per_epoch=args.begin_steps,
                           validation_steps=2, val_every_epochs=10)
         tmp = tempfile.mkdtemp(prefix="lits_begin_")
-        ckpt = train_model(cfg, src, SyntheticLiTS(n=2, seed=50),
+        ckpt = train_model(cfg, src, SyntheticLiTS(n=2, seed=50,
+                                                   host_shape=host_shape),
                            log_dir=tmp, epochs=args.begin_epochs,
                            num_workers=2)
         print(f"beginning ckpt: {ckpt}")
 
     for stage in ("beginning", "together", "finetune"):
         res = run_stage(stage, None if stage == "beginning" else ckpt,
-                        args.steps, src)
+                        args.steps, src, angle=args.angle)
         results.append(res)
         print(json.dumps(res))
 

@@ -149,6 +149,7 @@ class TrainFeeder:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         self._pool = ThreadPoolExecutor(max_workers=num_workers)
         self._lock = threading.Lock()
@@ -157,18 +158,25 @@ class TrainFeeder:
         # to ~zero once the dataset has been molded once)
         self._mold_cache: dict = {}
 
-    def _plan(self, steps: int):
+    def _plan(self, steps: int, epoch_index: Optional[int] = None):
         """Deterministic (ids, seeds) for this host's ``steps`` items: the
         global plan covers steps * num_shards items; each shard takes a
-        strided slice."""
+        strided slice.
+
+        With ``epoch_index`` the plan derives from ``(seed, epoch)`` instead
+        of the feeder's advancing stream, so a run resumed at epoch N draws
+        the same shuffle/target-seed sequence the uninterrupted run would
+        (resume determinism; the stream form stays for epoch-less callers)."""
         with self._lock:
+            rng = (self._rng if epoch_index is None
+                   else np.random.default_rng((self._seed, epoch_index)))
             need = steps * self.num_shards
             ids = []
             while len(ids) < need:
-                perm = self._rng.permutation(self.dataset.num_images)
+                perm = rng.permutation(self.dataset.num_images)
                 ids.extend(perm.tolist())
             ids = ids[:need]
-            seeds = self._rng.integers(0, 2**31 - 1, size=need)
+            seeds = rng.integers(0, 2**31 - 1, size=need)
         return (ids[self.shard_index::self.num_shards],
                 seeds[self.shard_index::self.num_shards])
 
@@ -295,12 +303,46 @@ class TrainFeeder:
                                        order=0).transpose(2, 0, 1)
                 molded = normalize_intensity(molded, cfg)
         else:
-            # LiTS path: rotate the raw volume, then pad+resize molding
+            # LiTS path: the reference rotates the raw volume, then
+            # pad+resize-molds it (LiTS_2017/model.py:1211-1233); both are
+            # nearest gathers, so the fused native kernel composes them
+            # into ONE index plan straight to the wire dtype -- no rotated
+            # raw copy, no molded f32 volume (round-4 weak #2: the
+            # separate full-volume rotation pass made LiTS training
+            # feeder-bound at real source sizes)
+            from cfun_tpu import native
             img = image[..., 0]
-            if angle != 0.0:
-                img = rotate_hw(img, angle, order=0)
-                mask = rotate_hw(mask, angle, order=0)
-            molded, _window, labels = mold_volume(img[..., None], cfg, mask)
+            labels = None
+            if (cfg.intensity_norm == "hu_window"
+                    and cfg.compute_dtype == "bfloat16"):
+                pd_, ph, pw = cfg.pad_shape
+                h0, w0, d0 = img.shape
+                offs = (max(0, (ph - h0) // 2), max(0, (pw - w0) // 2),
+                        max(0, (pd_ - d0) // 2))
+                pad_hwd = (ph, pw, pd_)
+                if cfg.train_wire_int8:
+                    molded_q8 = native.lits_train_mold_q8(
+                        img, pad_hwd, cfg.image_shape, offs, angle,
+                        cfg.hu_window, 5.0, cfg.wire_int8_scale)
+                    if molded_q8 is not None:
+                        image_out = molded_q8[None, ..., None]
+                if image_out is None:
+                    molded_bf16 = native.lits_train_mold(
+                        img, pad_hwd, cfg.image_shape, offs, angle,
+                        cfg.hu_window)
+                    if molded_bf16 is not None:
+                        image_out = molded_bf16[None, ..., None]
+                if image_out is not None:
+                    labels = native.lits_train_labels(
+                        mask, pad_hwd, cfg.image_shape, offs, angle)
+            if image_out is None or labels is None:
+                # two-pass fallback (no native library / f32 configs)
+                image_out = None
+                if angle != 0.0:
+                    img = rotate_hw(img, angle, order=0)
+                    mask = rotate_hw(mask, angle, order=0)
+                molded, _window, labels = mold_volume(img[..., None], cfg,
+                                                      mask)
 
         gt_box = np_mask_to_extended_bbox(labels)
         rng = np.random.default_rng(seed)
@@ -336,10 +378,12 @@ class TrainFeeder:
             labels=labels_out,
         )
 
-    def epoch(self, angle: float, steps: int) -> Iterator[TrainBatch]:
+    def epoch(self, angle: float, steps: int,
+              epoch_index: Optional[int] = None) -> Iterator[TrainBatch]:
         """Yield ``steps`` batches, cycling a fresh shuffle of the dataset
-        (this host's shard of it when num_shards > 1)."""
-        ids, seeds = self._plan(steps)
+        (this host's shard of it when num_shards > 1).  ``epoch_index``
+        makes the plan a pure function of (seed, epoch) -- see _plan."""
+        ids, seeds = self._plan(steps, epoch_index)
 
         futures = deque()
         it = iter(zip(ids, seeds))

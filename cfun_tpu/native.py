@@ -142,6 +142,15 @@ def _bind_symbols(lib) -> None:
     lib.heart_train_mold_q8.argtypes = [f32p] + [ctypes.c_int] * 3 + \
         [i8p, f32p] + [ctypes.c_int] * 3 + [ctypes.c_float] * 3
     lib.heart_train_mold_q8.restype = None
+    lib.lits_train_mold_q8.argtypes = [f32p] + [ctypes.c_int] * 9 + \
+        [i8p] + [ctypes.c_int] * 3 + [ctypes.c_float] * 5
+    lib.lits_train_mold_q8.restype = None
+    lib.lits_train_mold_bf16.argtypes = [f32p] + [ctypes.c_int] * 9 + \
+        [u16p] + [ctypes.c_int] * 3 + [ctypes.c_float] * 3
+    lib.lits_train_mold_bf16.restype = None
+    lib.lits_train_labels_i32.argtypes = [i32p] + [ctypes.c_int] * 9 + \
+        [i32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
+    lib.lits_train_labels_i32.restype = None
     lib.cfun_native_num_threads.argtypes = []
     lib.cfun_native_num_threads.restype = ctypes.c_int
 
@@ -365,6 +374,75 @@ def heart_train_labels(mask_hwd: np.ndarray, out_shape_dhw,
     h0, w0, d0 = src.shape
     lib.heart_train_labels_i32(src, h0, w0, d0, dst, dt, ht, wt,
                                float(angle_deg))
+    return dst
+
+
+def lits_train_mold_q8(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
+                       offsets_hwd, angle_deg: float, hu_window,
+                       clip_sigma: float, scale: float
+                       ) -> Optional[np.ndarray]:
+    """Fused LiTS TRAIN molding to the int8 wire: the +-30deg nearest raw
+    rotation composed into the virtual-pad nearest-resize gather, HU window
+    + bf16 round + quantize applied once per touched source voxel.
+    Bit-identical to rotate_hw(raw) -> lits_mold -> astype(bfloat16) ->
+    clip -> *scale -> astype(int8) (the round-2 feeder-bound two-pass
+    chain, reference LiTS_2017/model.py:1211-1233).  Returns int8
+    [Dt, Ht, Wt] or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src_hwd, np.float32)
+    dt, ht, wt = out_shape_dhw
+    ph, pw, pd = pad_shape_hwd
+    oh, ow, od = offsets_hwd
+    dst = np.empty((dt, ht, wt), np.int8)
+    h0, w0, d0 = src.shape
+    mn, mx = hu_window
+    lib.lits_train_mold_q8(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
+                           dt, ht, wt, float(angle_deg), float(mn),
+                           float(mx), float(clip_sigma), float(scale))
+    return dst
+
+
+def lits_train_mold(src_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
+                    offsets_hwd, angle_deg: float, hu_window
+                    ) -> Optional[np.ndarray]:
+    """bf16 variant of :func:`lits_train_mold_q8` (train_wire_int8 off):
+    returns bfloat16 [Dt, Ht, Wt] or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ml_dtypes
+    src = np.ascontiguousarray(src_hwd, np.float32)
+    dt, ht, wt = out_shape_dhw
+    ph, pw, pd = pad_shape_hwd
+    oh, ow, od = offsets_hwd
+    dst = np.empty((dt, ht, wt), np.uint16)
+    h0, w0, d0 = src.shape
+    mn, mx = hu_window
+    lib.lits_train_mold_bf16(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
+                             dt, ht, wt, float(angle_deg), float(mn),
+                             float(mx))
+    return dst.view(ml_dtypes.bfloat16)
+
+
+def lits_train_labels(mask_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
+                      offsets_hwd, angle_deg: float
+                      ) -> Optional[np.ndarray]:
+    """Label companion of the fused LiTS train mold: the same composed
+    rotation + pad + nearest-resize plan over the int mask -> int32
+    [Dt, Ht, Wt], or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(mask_hwd, np.int32)
+    dt, ht, wt = out_shape_dhw
+    ph, pw, pd = pad_shape_hwd
+    oh, ow, od = offsets_hwd
+    dst = np.empty((dt, ht, wt), np.int32)
+    h0, w0, d0 = src.shape
+    lib.lits_train_labels_i32(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
+                              dt, ht, wt, float(angle_deg))
     return dst
 
 

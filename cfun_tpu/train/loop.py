@@ -169,13 +169,14 @@ def train_model(cfg: Config, train_dataset, val_dataset,
     ``data`` mesh rows with H spatially sharded over ``space`` chips."""
     epochs = epochs or cfg.epochs
     anchors = config_anchors(cfg)
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
-    # validation keys are derived per-epoch from a fixed base (NOT the
-    # advancing train key): val loss is deterministic given (seed, epoch),
-    # so resumed runs produce comparable validation curves.  The reference
-    # instead threads the train sampler's RNG through validation
-    # (model.py:1563-1567), making val curves noisy across resumes.
+    # ALL training randomness -- the epoch's rotation angle, the feeder's
+    # shuffle/target-seed plan, and the per-step dropout/subsample keys --
+    # derives from (seed, epoch), never from a stream that advances across
+    # epochs: a run interrupted and resumed at epoch N replays exactly the
+    # uninterrupted trajectory.  The reference re-seeds its sampler on
+    # restart (model.py:1516-1573 keeps no RNG state), so resumed runs
+    # there diverge; PARITY.md records this as an improving deviation.
+    key_base = jax.random.PRNGKey(seed)
     val_base = jax.random.PRNGKey(seed + 0x5EED)
 
     prog = make_training_programs(cfg, anchors, mesh_spec)
@@ -231,13 +232,16 @@ def train_model(cfg: Config, train_dataset, val_dataset,
     try:
         for epoch in range(start_epoch + 1, epochs + 1):
             t0 = time.time()
-            angle = float(rng.integers(-int(cfg.augment_rotate_degrees),
-                                       int(cfg.augment_rotate_degrees) + 1))
+            angle = float(np.random.default_rng((seed, epoch)).integers(
+                -int(cfg.augment_rotate_degrees),
+                int(cfg.augment_rotate_degrees) + 1))
+            key = jax.random.fold_in(key_base, epoch)
             # metric sums stay on device so steps pipeline with the feeder;
             # only the periodic progress print forces a sync
             dev_sums = None
             items = _grouped(
-                feeder.epoch(angle, cfg.steps_per_epoch * prog.group),
+                feeder.epoch(angle, cfg.steps_per_epoch * prog.group,
+                             epoch_index=epoch),
                 prog.group)
             # one-ahead upload: batch i+1's device_put is issued while step
             # i executes, so H2D overlaps compute where the transport
@@ -274,7 +278,8 @@ def train_model(cfg: Config, train_dataset, val_dataset,
                 val_loss = 0.0
                 vkey = jax.random.fold_in(val_base, epoch)
                 steps = min(cfg.validation_steps, val_dataset.num_images)
-                vitems = val_feeder.epoch(angle, steps * prog.group)
+                vitems = val_feeder.epoch(angle, steps * prog.group,
+                                          epoch_index=epoch)
                 for group in _grouped(vitems, prog.group):
                     vkey, sub = jax.random.split(vkey)
                     total, _ = prog.val_forward(

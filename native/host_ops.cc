@@ -697,6 +697,186 @@ void lits_mold_slab_q8(const float* src, int h0, int w0, int d0, int ph,
   }
 }
 
+}  // extern "C" -- reopened below; the templated core needs C++ linkage
+
+namespace {
+
+// Shared core of the fused LiTS *training* molds: the reference rotates the
+// RAW volume slice-wise (nearest, zero fill) and only then pad+resize-molds
+// it (LiTS_2017/model.py:1211-1233 + 1154-1233).  Both maps are nearest
+// gathers, so they compose into ONE index plan: output (y, x) -> virtual-pad
+// nearest source row/col (sy, sx) -> raw rotation map (ry, rx).  Neither the
+// rotated raw copy (two full ~400 MB passes at 512x512x400) nor the molded
+// f32 volume is ever materialized -- `quant` emits the wire dtype directly.
+//
+// Fill semantics match the two-pass chain exactly:
+//   pad voxel (sy/sx/sz outside the pad window)      -> wire 0
+//   rotation-outside voxel (raw value 0, HU-windowed) -> quant(window(0))
+template <typename OutT, typename Quant>
+void lits_train_mold_core(const float* src, int h0, int w0, int d0, int ph,
+                          int pw, int pd, int oh, int ow, int od, OutT* dst,
+                          int dt, int ht, int wt, float angle_deg, float mn,
+                          float mx, Quant quant) {
+  std::vector<int> zi(dt), yi(ht), xi(wt);
+  nearest_pad_axis(dt, pd, d0, od, zi.data());
+  nearest_pad_axis(ht, ph, h0, oh, yi.data());
+  nearest_pad_axis(wt, pw, w0, ow, xi.data());
+  std::vector<int> ry(static_cast<size_t>(h0) * w0),
+      rx(static_cast<size_t>(h0) * w0);
+  rotate_maps(h0, w0, angle_deg, ry.data(), rx.data());
+  const float inv = 1.0f / (mx - mn);
+  const float w0f = std::min(std::max((0.0f - mn) * inv, 0.0f), 1.0f);
+  const OutT q_rot = quant(w0f);  // rotation fill, post-window
+  const int64_t hs = static_cast<int64_t>(w0) * d0;
+
+  int zmin = d0, zmax = -1;
+  for (int z = 0; z < dt; ++z)
+    if (zi[z] >= 0) {
+      zmin = std::min(zmin, zi[z]);
+      zmax = std::max(zmax, zi[z]);
+    }
+  const int span = zmax >= zmin ? zmax - zmin + 1 : 0;
+  std::vector<int> zrel(dt);
+  for (int z = 0; z < dt; ++z)
+    zrel[z] = zi[z] >= 0 ? zi[z] - zmin + 1 : 0;
+  constexpr int XB = 128;
+
+#pragma omp parallel
+  {
+    std::vector<OutT> tile(static_cast<size_t>(dt) * XB);
+    std::vector<OutT> buf(static_cast<size_t>(span) + 1);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      const int sy = yi[y];
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xo = 0; xo < xn; ++xo) {
+          const int sx = xi[xb + xo];
+          OutT* col = tile.data() + xo;
+          if (sy < 0 || sx < 0) {  // pad row/col: wire zeros
+            for (int z = 0; z < dt; ++z)
+              col[static_cast<size_t>(z) * XB] = OutT(0);
+            continue;
+          }
+          const int64_t ri = static_cast<int64_t>(sy) * w0 + sx;
+          const int my = ry[ri], mxx = rx[ri];
+          if (my < 0 || mxx < 0) {  // rotated outside the raw slice
+            for (int z = 0; z < dt; ++z)
+              col[static_cast<size_t>(z) * XB] =
+                  zrel[z] ? q_rot : OutT(0);
+            continue;
+          }
+          const float* c =
+              src + my * hs + static_cast<int64_t>(mxx) * d0 + zmin;
+          buf[0] = OutT(0);
+          OutT* b = buf.data() + 1;
+          for (int s = 0; s < span; ++s) {  // contiguous: autovectorizes
+            const float t = (c[s] - mn) * inv;
+            b[s] = quant(std::min(std::max(t, 0.0f), 1.0f));
+          }
+          for (int z = 0; z < dt; ++z)
+            col[static_cast<size_t>(z) * XB] = buf[zrel[z]];
+        }
+        for (int z = 0; z < dt; ++z)
+          std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt + xb,
+                      tile.data() + static_cast<size_t>(z) * XB,
+                      static_cast<size_t>(xn) * sizeof(OutT));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// int8 train-wire emitter: bit-identical to the Python two-pass chain
+// rotate_hw(raw) -> lits_mold -> astype(bfloat16) -> clip(+-clip_sigma)
+// -> *scale -> astype(int8) (the feeder quantizes the bf16 image it would
+// otherwise ship; C trunc-toward-zero == numpy astype).
+void lits_train_mold_q8(const float* src, int h0, int w0, int d0, int ph,
+                        int pw, int pd, int oh, int ow, int od, int8_t* dst,
+                        int dt, int ht, int wt, float angle_deg, float mn,
+                        float mx, float clip_sigma, float scale) {
+  lits_train_mold_core<int8_t>(
+      src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst, dt, ht, wt, angle_deg,
+      mn, mx, [clip_sigma, scale](float v) {
+        const uint32_t b = static_cast<uint32_t>(to_bf16(v)) << 16;
+        float f;
+        std::memcpy(&f, &b, 4);
+        f = std::min(std::max(f, -clip_sigma), clip_sigma);
+        return static_cast<int8_t>(f * scale);
+      });
+}
+
+// bf16 emitter (cfg.train_wire_int8 off): the HU-windowed voxel
+// round-to-nearest-even'd to bfloat16, matching astype(bfloat16).
+void lits_train_mold_bf16(const float* src, int h0, int w0, int d0, int ph,
+                          int pw, int pd, int oh, int ow, int od,
+                          uint16_t* dst, int dt, int ht, int wt,
+                          float angle_deg, float mn, float mx) {
+  lits_train_mold_core<uint16_t>(src, h0, w0, d0, ph, pw, pd, oh, ow, od,
+                                 dst, dt, ht, wt, angle_deg, mn, mx,
+                                 [](float v) { return to_bf16(v); });
+}
+
+// Label companion: the same composed rotation+pad+resize nearest plan over
+// the int32 mask, zero (background) fill for both pad and rotation-outside.
+void lits_train_labels_i32(const int32_t* src, int h0, int w0, int d0,
+                           int ph, int pw, int pd, int oh, int ow, int od,
+                           int32_t* dst, int dt, int ht, int wt,
+                           float angle_deg) {
+  std::vector<int> zi(dt), yi(ht), xi(wt);
+  nearest_pad_axis(dt, pd, d0, od, zi.data());
+  nearest_pad_axis(ht, ph, h0, oh, yi.data());
+  nearest_pad_axis(wt, pw, w0, ow, xi.data());
+  std::vector<int> ry(static_cast<size_t>(h0) * w0),
+      rx(static_cast<size_t>(h0) * w0);
+  rotate_maps(h0, w0, angle_deg, ry.data(), rx.data());
+  const int64_t hs = static_cast<int64_t>(w0) * d0;
+  constexpr int XB = 128;
+
+#pragma omp parallel
+  {
+    std::vector<int32_t> tile(static_cast<size_t>(dt) * XB);
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int y = 0; y < ht; ++y) {
+      const int sy = yi[y];
+      for (int xb = 0; xb < wt; xb += XB) {
+        const int xn = std::min(XB, wt - xb);
+        for (int xo = 0; xo < xn; ++xo) {
+          const int sx = xi[xb + xo];
+          int32_t* col = tile.data() + xo;
+          int my = -1, mxx = -1;
+          if (sy >= 0 && sx >= 0) {
+            const int64_t ri = static_cast<int64_t>(sy) * w0 + sx;
+            my = ry[ri];
+            mxx = rx[ri];
+          }
+          if (my < 0 || mxx < 0) {
+            for (int z = 0; z < dt; ++z)
+              col[static_cast<size_t>(z) * XB] = 0;
+            continue;
+          }
+          const int32_t* c = src + my * hs + static_cast<int64_t>(mxx) * d0;
+          for (int z = 0; z < dt; ++z) {
+            const int sz = zi[z];
+            col[static_cast<size_t>(z) * XB] = sz < 0 ? 0 : c[sz];
+          }
+        }
+        for (int z = 0; z < dt; ++z)
+          std::memcpy(dst + (static_cast<int64_t>(z) * ht + y) * wt + xb,
+                      tile.data() + static_cast<size_t>(z) * XB,
+                      static_cast<size_t>(xn) * sizeof(int32_t));
+      }
+    }
+  }
+}
+
 // Inverse of the (virtual-pad) nearest molding for a molded int8 label
 // volume: out[y, x, z] = lab[mz[z], my[y], mx[x]] emitted as int16 in the
 // final [H0, W0, D0] host layout (numpy's successive axis-takes + astype +

@@ -297,3 +297,103 @@ def test_fused_heart_train_mold_matches_chain():
         got_q8 = native.heart_train_mold_q8(img, cfg.image_shape, angle,
                                             5.0, scale)
         np.testing.assert_array_equal(got_q8, want_q8)
+
+
+def test_fused_lits_train_mold_matches_chain():
+    """native lits_train_mold{_q8,}/labels must be BIT-identical to the
+    two-pass chain rotate_hw(raw) -> mold_volume -> astype(bfloat16)
+    [-> clip/scale/astype(int8)]: the rotation and the virtual-pad nearest
+    resize are both nearest gathers, so their composition is exact (the
+    round-4 weak-#2 fix that unblocks LiTS training at real source
+    sizes)."""
+    import ml_dtypes
+    import numpy as np
+    import pytest
+
+    from cfun_tpu import native
+    from cfun_tpu.config import lits_config
+    from cfun_tpu.data.feeder import mold_volume
+    from cfun_tpu.data.resample import rotate_hw
+
+    if not native.available():
+        pytest.skip("native host-ops unavailable")
+
+    cfg = lits_config("beginning").replace(image_shape=(32, 64, 64),
+                                           pad_shape=(72, 120, 120))
+    rng = np.random.default_rng(1)
+    # HU-ish values straddling the (300, -300) window, odd source dims
+    img = rng.normal(0, 400, size=(100, 96, 50)).astype(np.float32)
+    mask = np.zeros((100, 96, 50), np.int32)
+    mask[30:80, 20:70, 10:40] = 2
+
+    pd_, ph, pw = cfg.pad_shape
+    h0, w0, d0 = img.shape
+    offs = (max(0, (ph - h0) // 2), max(0, (pw - w0) // 2),
+            max(0, (pd_ - d0) // 2))
+    for angle in (0.0, 17.0, -30.0):
+        img_rot, mask_rot = img, mask
+        if angle != 0.0:
+            img_rot = rotate_hw(img, angle, order=0)
+            mask_rot = rotate_hw(mask, angle, order=0)
+        molded, _w, labels = mold_volume(img_rot[..., None], cfg, mask_rot)
+        ref_bf16 = molded.astype(ml_dtypes.bfloat16)
+        ref_q8 = (np.clip(ref_bf16.astype(np.float32), -5.0, 5.0)
+                  * cfg.wire_int8_scale).astype(np.int8)
+
+        got_bf16 = native.lits_train_mold(img, (ph, pw, pd_),
+                                          cfg.image_shape, offs, angle,
+                                          cfg.hu_window)
+        got_q8 = native.lits_train_mold_q8(img, (ph, pw, pd_),
+                                           cfg.image_shape, offs, angle,
+                                           cfg.hu_window, 5.0,
+                                           cfg.wire_int8_scale)
+        got_lab = native.lits_train_labels(mask, (ph, pw, pd_),
+                                           cfg.image_shape, offs, angle)
+        np.testing.assert_array_equal(got_lab, labels)
+        np.testing.assert_array_equal(got_bf16.view(np.uint16),
+                                      ref_bf16.view(np.uint16),
+                                      err_msg=f"angle={angle}")
+        np.testing.assert_array_equal(got_q8, ref_q8,
+                                      err_msg=f"angle={angle}")
+
+
+def test_lits_feeder_fused_path_matches_two_pass():
+    """The feeder's make_item LiTS branch (fused native path) must produce
+    the same TrainBatch the two-pass fallback would."""
+    import pytest
+
+    from cfun_tpu import native
+    from cfun_tpu.config import lits_config
+    from cfun_tpu.data.datasets import SyntheticDataset
+    from cfun_tpu.data.feeder import TrainFeeder
+    from cfun_tpu.ops.anchors import config_anchors
+
+    if not native.available():
+        pytest.skip("native host-ops unavailable")
+
+    cfg = lits_config("beginning").replace(
+        image_shape=(16, 32, 32), pad_shape=(40, 72, 72),
+        anchor_scales=(8, 16), train_wire_int8=True)
+    ds = SyntheticDataset(cfg, n=2, seed=3)
+    anchors = config_anchors(cfg)
+    feeder = TrainFeeder(ds, cfg, anchors, seed=0, num_workers=1)
+    try:
+        fused = feeder.make_item(0, angle=12.0, seed=42)
+        # force the two-pass fallback by making only the fused-train
+        # wrappers unavailable (mold_volume keeps the native lits_mold, so
+        # both paths share the window arithmetic -> bit-exact comparison)
+        import cfun_tpu.native as nat
+        saved = (nat.lits_train_mold_q8, nat.lits_train_mold,
+                 nat.lits_train_labels)
+        nat.lits_train_mold_q8 = nat.lits_train_mold = \
+            nat.lits_train_labels = lambda *a, **k: None
+        try:
+            twopass = feeder.make_item(0, angle=12.0, seed=42)
+        finally:
+            (nat.lits_train_mold_q8, nat.lits_train_mold,
+             nat.lits_train_labels) = saved
+    finally:
+        feeder.close()
+    for name, a, b in zip(fused._fields, fused, twopass):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

@@ -126,6 +126,37 @@ def test_mesh_step_equals_mean_of_single_device_forwards():
                                np.mean(singles), rtol=1e-5)
 
 
+def test_resume_reproduces_uninterrupted_trajectory(tmp_path):
+    """Training randomness (angle, feeder plan, step keys) derives from
+    (seed, epoch): train 4 epochs straight vs train 2 + resume 2 produce
+    identical per-epoch losses AND identical final params (round-4 weak #5
+    fix -- resume no longer replays the RNG streams from position 0)."""
+    cfg = _cfg()
+
+    def run(log, epochs, weights=None):
+        train_ds = SyntheticDataset(cfg, n=4, seed=0)
+        val_ds = SyntheticDataset(cfg, n=2, seed=50)
+        return train_model(cfg, train_ds, val_ds, log_dir=str(log),
+                           epochs=epochs, weights=weights, num_workers=2)
+
+    ckpt_full = run(tmp_path / "full", 4)
+    ckpt_half = run(tmp_path / "half", 2)
+    ckpt_resumed = run(tmp_path / "resumed", 4, weights=ckpt_half)
+
+    losses_full = _epoch_losses(_read_metrics(str(tmp_path / "full")))
+    losses_resumed = _epoch_losses(_read_metrics(str(tmp_path / "resumed")))
+    assert set(losses_full) == {1, 2, 3, 4}
+    assert set(losses_resumed) == {3, 4}
+    for e in (3, 4):
+        np.testing.assert_allclose(losses_resumed[e], losses_full[e],
+                                   rtol=1e-6, atol=0)
+    with np.load(ckpt_full) as a, np.load(ckpt_resumed) as b:
+        for k in a.files:
+            if k == "__meta__":
+                continue
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_val_loss_deterministic_across_runs(tmp_path):
     """Validation keys derive from (seed, epoch), not the advancing train
     key: two identical runs log identical val curves (weak #7 fix)."""
