@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--wire", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--out", default=None,
                     help="save the final params here (npz)")
+    ap.add_argument("--full-out", default=None,
+                    help="also copy the FULL final checkpoint (params + "
+                         "optimizer + epoch) here -- the file a later "
+                         "--weights run resumes from exactly (the --out "
+                         "npz is params-only/f16 for committing)")
     ap.add_argument("--seed", default=0, type=int)
     ap.add_argument("--stage", default="beginning",
                     choices=["beginning", "finetune"])
@@ -139,6 +144,11 @@ def main():
                                        for s in epoch_s]})
             with open(args.report, "w") as fh:
                 json.dump(rep, fh, indent=1)
+        if args.full_out:
+            os.makedirs(os.path.dirname(os.path.abspath(args.full_out)),
+                        exist_ok=True)
+            shutil.copyfile(ckpt, args.full_out)
+            print(f"saved full checkpoint {args.full_out}")
         if args.out:
             params, _, meta = checkpoint.load(ckpt, _template(cfg),
                                               strict=False)
