@@ -69,12 +69,15 @@ def evaluate(stage: str, ckpt: str, holdout) -> dict:
     det = Detector(cfg, params)
 
     box_ious, ious, dices, fg_scores, times = [], [], [], [], []
+    buckets = {"mold": [], "device": [], "unmold": []}
     for i in range(holdout.num_images):
         image = holdout.load_image(i)[..., 0]
         label = holdout.load_mask(i).astype(np.int32)
         t0 = time.perf_counter()
         result = det.detect(image)
         times.append(time.perf_counter() - t0)
+        for k in buckets:  # every latency row carries its attribution
+            buckets[k].append(round(det.last_timings[k], 4))
         rois = np.clip(result["rois"], 0, None).astype(np.int64)
         if rois.shape[0] > 0:
             gt_box = _gt_extended_box_yxz(label)
@@ -92,7 +95,8 @@ def evaluate(stage: str, ckpt: str, holdout) -> dict:
            if fg_scores else None,
            "box_iou_mean": round(float(np.mean(box_ious)), 4)
            if box_ious else None,
-           "detect_s_median": round(float(np.median(times)), 3)}
+           "detect_s_median": round(float(np.median(times)), 3),
+           "buckets": buckets}
     if ious:
         arr, darr = np.array(ious), np.array(dices)
         rep["mask_iou_per_class"] = [round(v, 4)
