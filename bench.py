@@ -83,34 +83,14 @@ def timed_reps(det, vol, n):
 
 
 def amortized_infer_kernel(det, vol):
-    """Amortized kernel-only seconds of the FULL packed infer program (a
-    dependent lax.scan chain pays dispatch once and the kernel `chain`
-    times; utils/roofline.py::time_amortized).  Independent of the timed
+    """Amortized kernel-only seconds of the FULL packed infer program
+    (utils/roofline.py::packed_infer_chain -- the same measurement the
+    device-trace reconciliation validates).  Independent of the timed
     detect() reps, so the floor below is a real measurement, not the
     bucket judging itself."""
-    import jax.numpy as jnp
+    from cfun_tpu.utils.roofline import packed_infer_chain
 
-    from cfun_tpu.models import cfun as _cfun
-    from cfun_tpu.utils.roofline import time_amortized
-
-    slabs, window, _ = det._mold(vol)
-    bits = det._pack_bits
-    dcfg = det.cfg
-    # ONE image array arg and perturb THAT: perturbing the window instead
-    # let XLA hoist the whole window-independent trunk out of the scan
-    # chain, understating the full-graph kernel 2.1x (caught by the
-    # device-trace reconciliation, benchmarks/trace_reconcile.py)
-    image = jnp.concatenate(slabs, axis=0)[None, :, :, :, None]
-
-    def scalar_fn(p, im, a, w):
-        out = _cfun.infer_forward(p, im, a, w, cfg=dcfg)
-        return _cfun.pack_fast_output(out, bits=bits).astype(
-            jnp.float32).sum()
-
-    tm = time_amortized(
-        scalar_fn, (det.params, image, det.anchors, jnp.asarray(window)),
-        perturb=1, reps=3, chain=8)
-    return tm["kernel_s"]
+    return packed_infer_chain(det, vol)["kernel_s"]
 
 
 def main():
@@ -263,10 +243,12 @@ def main():
     # in the JSON, a slow capture is attributable to the link, a fast one
     # to the code.
     link = {}
+    up_bps = down_bps = None
     try:
         import jax.numpy as jnp
 
-        buf = np.zeros(16 << 20, np.int8)
+        probe_bytes = 16 << 20
+        buf = np.zeros(probe_bytes, np.int8)
         fsum = jax.jit(lambda x: x[::4096].astype(jnp.int32).sum())
         dev = jax.device_put(buf)
         int(fsum(dev))  # compile + warm
@@ -280,9 +262,15 @@ def main():
             t0 = time.perf_counter()
             np.asarray(dev)
             downs.append(time.perf_counter() - t0)
+        # exact bytes/s carried to the floor below; the JSON rounds to
+        # true MB/s (the probe buffer is 16 MiB = 16.78 MB -- dividing 16
+        # by seconds then scaling by 1e6 understated bandwidth 4.9 % and
+        # overstated the floor, breaking its lower-bound property)
+        up_bps = probe_bytes / float(np.median(ups))
+        down_bps = probe_bytes / float(np.median(downs))
         link = {
-            "link_up_mbps": round(16 / float(np.median(ups)), 1),
-            "link_down_mbps": round(16 / float(np.median(downs)), 1),
+            "link_up_mbps": round(up_bps / 1e6, 1),
+            "link_down_mbps": round(down_bps / 1e6, 1),
         }
     except Exception as e:
         link = {"link_error": repr(e)[:120]}
@@ -295,9 +283,8 @@ def main():
     # every capture judge itself: ~1.0-1.2 means the gap to the README
     # bands is link weather, not a code regression.
     floors = {}
-    if "link_up_mbps" in link:
-        up_bw = link["link_up_mbps"] * 1e6
-        down_bw = link["link_down_mbps"] * 1e6
+    if up_bps is not None:
+        up_bw, down_bw = up_bps, down_bps
         disp = mfu.get("dispatch_floor_ms", 25.0) / 1e3
         fam_values = {"heart": latency,
                       "finetune": finetune.get("finetune_latency_s"),

@@ -81,7 +81,7 @@ def feeder_item_microbench(feeder_src, angle, reps=3):
     anchors = config_anchors(cfg)
     feeder = TrainFeeder(feeder_src, cfg, anchors, seed=7, num_workers=1)
 
-    def time_item(tag):
+    def time_item():
         walls = []
         item = None
         for _ in range(reps):
@@ -91,16 +91,9 @@ def feeder_item_microbench(feeder_src, angle, reps=3):
         return {"median_s": round(float(np.median(walls)), 3),
                 "min_s": round(float(np.min(walls)), 3)}, item
 
-    fused_t, fused_item = time_item("fused")
-    saved = (nat.lits_train_mold_q8, nat.lits_train_mold,
-             nat.lits_train_labels)
-    nat.lits_train_mold_q8 = nat.lits_train_mold = \
-        nat.lits_train_labels = lambda *a, **k: None
-    try:
-        twopass_t, twopass_item = time_item("two_pass")
-    finally:
-        (nat.lits_train_mold_q8, nat.lits_train_mold,
-         nat.lits_train_labels) = saved
+    fused_t, fused_item = time_item()
+    with nat.force_two_pass():
+        twopass_t, twopass_item = time_item()
     feeder.close()
     for name, a, b in zip(fused_item._fields, fused_item, twopass_item):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),

@@ -2,8 +2,9 @@
 # Unattended: settle the heart finetune quality curve (VERDICT r4 weak #3).
 #
 # Re-runs the finetune leg on the fast path saving FULL checkpoints at
-# epochs 48/60/72 (same-stage resumes are now trajectory-exact: angles,
-# feeder plan and step keys derive from (seed, epoch)), then evaluates
+# epochs 48/60/72 (same-stage resumes now replay the uninterrupted
+# trajectory: angles, feeder plan and step keys derive from
+# (seed, epoch)), then evaluates
 # each on >= 12 held-out volumes -- enough to separate a real post-48
 # decline from 3-volume noise -- into a FRESH heart_synth_eval.json whose
 # every row carries per-bucket timings (weak #7).

@@ -88,7 +88,7 @@ def main():
     from cfun_tpu.config import heart_inference_config
     from cfun_tpu.inference import Detector
     from cfun_tpu.models import cfun
-    from cfun_tpu.utils.roofline import time_amortized
+    from cfun_tpu.utils.roofline import packed_infer_chain
 
     cfg = heart_inference_config("beginning")
     params = cfun.init_params(jax.random.PRNGKey(0), cfg)
@@ -103,23 +103,14 @@ def main():
 
     report = {"reps": args.reps, "device": str(jax.devices()[0])}
 
-    # --- chain-amortized estimate (the number under test) ---
-    # perturb the IMAGE: perturbing the window let XLA hoist the whole
-    # window-independent trunk out of the scan chain (loop-invariant code
-    # motion), understating the full-graph kernel 2.1x -- the first run of
-    # this very reconciliation caught it (trace_vs_chain_ratio 2.13)
+    # --- chain-amortized estimate (the number under test): the SAME
+    # helper bench.py's link-conditioned floor uses, so this trace
+    # validates exactly the graph the floor is built from (the helper
+    # perturbs the image, not the window -- the first run of this
+    # reconciliation caught the window-perturbed chain understating the
+    # kernel 2.1x via loop-invariant code motion)
     slabs, window, _ = det._mold(vol)
-    bits = det._pack_bits
-    image = jnp.concatenate(slabs, axis=0)[None, :, :, :, None]
-
-    def scalar_fn(p, im, a, w):
-        out = cfun.infer_forward(p, im, a, w, cfg=cfg)
-        return cfun.pack_fast_output(out, bits=bits).astype(
-            jnp.float32).sum()
-
-    tm = time_amortized(
-        scalar_fn, (det.params, image, det.anchors, jnp.asarray(window)),
-        perturb=1, reps=3, chain=8)
+    tm = packed_infer_chain(det, vol)
     report["chain_amortized"] = {
         "infer_kernel_ms": round(tm["kernel_s"] * 1e3, 2),
         "single_call_ms": round(tm["single_s"] * 1e3, 2),

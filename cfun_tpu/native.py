@@ -10,6 +10,7 @@ the pure-NumPy paths in :mod:`cfun_tpu.data.resample` are used.
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
 import subprocess
@@ -461,3 +462,28 @@ def unmold_argmax(crop_probs: np.ndarray, box, out_shape_dhw
     lib.unmold_argmax_f32(probs, md, mh, mw, c, out, od, oh, ow,
                           z1, y1, x1, z2, y2, x2)
     return out
+
+
+@contextlib.contextmanager
+def force_two_pass():
+    """Temporarily disable the fused train-mold wrappers so
+    ``TrainFeeder.make_item`` takes its two-pass fallback (separate
+    rotate, then mold).  The ONE place that knows which symbols make up
+    the fused path -- tests/test_data_io.py and
+    benchmarks/lits_train_steps.py both compare fused vs fallback, and a
+    new fused wrapper added here is automatically covered by both.
+    ``mold_volume``'s plain mold kernels stay native, so the two paths
+    share the window arithmetic and compare bit-exactly."""
+    global heart_train_mold, heart_train_mold_q8, heart_train_labels, \
+        lits_train_mold, lits_train_mold_q8, lits_train_labels
+    saved = (heart_train_mold, heart_train_mold_q8, heart_train_labels,
+             lits_train_mold, lits_train_mold_q8, lits_train_labels)
+    unavailable = lambda *a, **k: None  # noqa: E731
+    heart_train_mold = heart_train_mold_q8 = heart_train_labels = \
+        lits_train_mold = lits_train_mold_q8 = lits_train_labels = \
+        unavailable
+    try:
+        yield
+    finally:
+        (heart_train_mold, heart_train_mold_q8, heart_train_labels,
+         lits_train_mold, lits_train_mold_q8, lits_train_labels) = saved

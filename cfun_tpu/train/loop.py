@@ -232,7 +232,12 @@ def train_model(cfg: Config, train_dataset, val_dataset,
     try:
         for epoch in range(start_epoch + 1, epochs + 1):
             t0 = time.time()
-            angle = float(np.random.default_rng((seed, epoch)).integers(
+            # the trailing tag keeps this stream independent of the
+            # feeder's shuffle/target-seed plan, which seeds
+            # default_rng((seed, epoch)) (feeder.py::_plan) -- without it
+            # the epoch's angle deterministically co-varies with the
+            # shuffle order (both streams start from the same bitstream)
+            angle = float(np.random.default_rng((seed, epoch, 1)).integers(
                 -int(cfg.augment_rotate_degrees),
                 int(cfg.augment_rotate_degrees) + 1))
             key = jax.random.fold_in(key_base, epoch)

@@ -194,3 +194,37 @@ def segment_report(seconds: float, flops: float,
         bw = bytes_accessed / seconds / peaks["hbm_bw"]
         out["hbm_bw_util"] = round(bw, 4) if bw == bw else None
     return out
+
+
+def packed_infer_chain(det, vol, *, reps: int = 3,
+                       chain: int = 8) -> Dict[str, float]:
+    """Chain-amortized timing of a Detector's FULL packed infer program.
+
+    The scalar under the chain is ``infer_forward`` + ``pack_fast_output``
+    on the molded volume -- the exact device program ``detect()`` runs --
+    so ``kernel_s`` is the full-graph kernel-only time.  Shared by
+    bench.py's link-conditioned floor and benchmarks/trace_reconcile.py's
+    device-trace reconciliation (one definition keeps the two measurements
+    of the same graph in sync).
+
+    The chain perturbs the concatenated IMAGE array, not the window:
+    perturbing the window lets XLA hoist the whole window-independent
+    trunk out of the scan chain (loop-invariant code motion), understating
+    the full-graph kernel 2.1x -- caught by the first run of the trace
+    reconciliation (trace_vs_chain_ratio 2.13).
+    """
+    from cfun_tpu.models import cfun
+
+    slabs, window, _ = det._mold(vol)
+    bits = det._pack_bits
+    dcfg = det.cfg
+    image = jnp.concatenate(slabs, axis=0)[None, :, :, :, None]
+
+    def scalar_fn(p, im, a, w):
+        out = cfun.infer_forward(p, im, a, w, cfg=dcfg)
+        return cfun.pack_fast_output(out, bits=bits).astype(
+            jnp.float32).sum()
+
+    return time_amortized(
+        scalar_fn, (det.params, image, det.anchors, jnp.asarray(window)),
+        perturb=1, reps=reps, chain=chain)

@@ -379,19 +379,11 @@ def test_lits_feeder_fused_path_matches_two_pass():
     feeder = TrainFeeder(ds, cfg, anchors, seed=0, num_workers=1)
     try:
         fused = feeder.make_item(0, angle=12.0, seed=42)
-        # force the two-pass fallback by making only the fused-train
-        # wrappers unavailable (mold_volume keeps the native lits_mold, so
-        # both paths share the window arithmetic -> bit-exact comparison)
-        import cfun_tpu.native as nat
-        saved = (nat.lits_train_mold_q8, nat.lits_train_mold,
-                 nat.lits_train_labels)
-        nat.lits_train_mold_q8 = nat.lits_train_mold = \
-            nat.lits_train_labels = lambda *a, **k: None
-        try:
+        # force the two-pass fallback (mold_volume keeps the native
+        # lits_mold, so both paths share the window arithmetic ->
+        # bit-exact comparison)
+        with native.force_two_pass():
             twopass = feeder.make_item(0, angle=12.0, seed=42)
-        finally:
-            (nat.lits_train_mold_q8, nat.lits_train_mold,
-             nat.lits_train_labels) = saved
     finally:
         feeder.close()
     for name, a, b in zip(fused._fields, fused, twopass):

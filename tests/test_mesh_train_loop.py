@@ -128,9 +128,16 @@ def test_mesh_step_equals_mean_of_single_device_forwards():
 
 def test_resume_reproduces_uninterrupted_trajectory(tmp_path):
     """Training randomness (angle, feeder plan, step keys) derives from
-    (seed, epoch): train 4 epochs straight vs train 2 + resume 2 produce
-    identical per-epoch losses AND identical final params (round-4 weak #5
-    fix -- resume no longer replays the RNG streams from position 0)."""
+    (seed, epoch): train 4 epochs straight vs train 2 + resume 2 replay
+    the same trajectory (round-4 weak #5 fix -- resume no longer replays
+    the RNG streams from position 0).
+
+    Tolerances, not bit-equality: XLA-CPU training steps are not
+    run-to-run bit-deterministic (two IDENTICAL fresh runs diverge
+    ~1e-9/step in params, compounding to ~1e-5 rel over 4 tiny epochs --
+    measured), so bit-exact asserts flake.  A WRONG RNG schedule (the bug
+    this guards against: different rotation angles / shuffle orders after
+    resume) moves losses and params O(1), far above these bounds."""
     cfg = _cfg()
 
     def run(log, epochs, weights=None):
@@ -149,12 +156,13 @@ def test_resume_reproduces_uninterrupted_trajectory(tmp_path):
     assert set(losses_resumed) == {3, 4}
     for e in (3, 4):
         np.testing.assert_allclose(losses_resumed[e], losses_full[e],
-                                   rtol=1e-6, atol=0)
+                                   rtol=1e-4, atol=0)
     with np.load(ckpt_full) as a, np.load(ckpt_resumed) as b:
         for k in a.files:
             if k == "__meta__":
                 continue
-            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-3, atol=1e-6,
+                                       err_msg=k)
 
 
 def test_val_loss_deterministic_across_runs(tmp_path):
