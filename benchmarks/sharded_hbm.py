@@ -54,6 +54,15 @@ if "--xla_force_host_platform_device_count" not in \
                                f"{_space}").strip()
 
 import jax  # noqa: E402
+
+# the env assignments above are NOT enough when the axon env is already
+# present at interpreter start: /root/.axon_site/sitecustomize.py imports
+# jax during site init (before this script body runs), latching
+# jax_platforms='axon' -- the r5 rerun grabbed the tunneled chip and OOMed
+# its 16 GB HBM on the dense finetune compile.  Re-force via config, which
+# wins over the latched env value.
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
