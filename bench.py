@@ -82,6 +82,33 @@ def timed_reps(det, vol, n):
     return times, {k: stats(v) for k, v in buckets.items()}
 
 
+def probe_link():
+    """One raw link-bandwidth sample: 3x 16 MiB int8 device_put (+ scalar
+    readback to force completion) and 3x 16 MiB fetch; returns exact
+    (up_bytes_per_s, down_bytes_per_s) medians.  ~2-4 s of traffic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    probe_bytes = 16 << 20
+    buf = np.zeros(probe_bytes, np.int8)
+    fsum = jax.jit(lambda x: x[::4096].astype(jnp.int32).sum())
+    dev = jax.device_put(buf)
+    int(fsum(dev))  # compile + warm
+    ups, downs = [], []
+    for i in range(3):
+        buf[i] = i + 1
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        int(fsum(dev))
+        ups.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        downs.append(time.perf_counter() - t0)
+    return (probe_bytes / float(np.median(ups)),
+            probe_bytes / float(np.median(downs)))
+
+
 def amortized_infer_kernel(det, vol):
     """Amortized kernel-only seconds of the FULL packed infer program
     (utils/roofline.py::packed_infer_chain -- the same measurement the
@@ -113,6 +140,18 @@ def main():
     vol = synth_volume()
     det.detect(vol)  # compile + warm caches (host and device)
     det.detect(vol)
+
+    # link probe BEFORE the timed reps (a second one runs after
+    # everything): the tunnel's bandwidth swings minute to minute, so one
+    # point sample cannot attribute a capture -- the pre/post pair
+    # brackets the weather the reps actually saw (observed r5: a capture
+    # whose end-probe measured 95.8 MB/s up against rep-window device
+    # buckets consistent with ~40)
+    pre_up_bps = pre_down_bps = None
+    try:
+        pre_up_bps, pre_down_bps = probe_link()
+    except Exception:
+        pass
 
     # 9 reps, median: the tunneled link's throughput swings minute to
     # minute (device bucket observed 0.27-0.64 s across runs), so a short
@@ -245,33 +284,25 @@ def main():
     link = {}
     up_bps = down_bps = None
     try:
-        import jax.numpy as jnp
-
-        probe_bytes = 16 << 20
-        buf = np.zeros(probe_bytes, np.int8)
-        fsum = jax.jit(lambda x: x[::4096].astype(jnp.int32).sum())
-        dev = jax.device_put(buf)
-        int(fsum(dev))  # compile + warm
-        ups, downs = [], []
-        for i in range(3):
-            buf[i] = i + 1
-            t0 = time.perf_counter()
-            dev = jax.device_put(buf)
-            int(fsum(dev))
-            ups.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            np.asarray(dev)
-            downs.append(time.perf_counter() - t0)
         # exact bytes/s carried to the floor below; the JSON rounds to
         # true MB/s (the probe buffer is 16 MiB = 16.78 MB -- dividing 16
         # by seconds then scaling by 1e6 understated bandwidth 4.9 % and
         # overstated the floor, breaking its lower-bound property)
-        up_bps = probe_bytes / float(np.median(ups))
-        down_bps = probe_bytes / float(np.median(downs))
+        post_up_bps, post_down_bps = probe_link()
         link = {
-            "link_up_mbps": round(up_bps / 1e6, 1),
-            "link_down_mbps": round(down_bps / 1e6, 1),
+            "link_up_mbps": round(post_up_bps / 1e6, 1),
+            "link_down_mbps": round(post_down_bps / 1e6, 1),
         }
+        # the floor uses the pre/post MEAN -- the best available estimate
+        # of conditions during the reps; both endpoints are in the JSON
+        # so a big pre/post spread flags an unstable capture by itself
+        if pre_up_bps is not None:
+            link["link_up_mbps_pre"] = round(pre_up_bps / 1e6, 1)
+            link["link_down_mbps_pre"] = round(pre_down_bps / 1e6, 1)
+            up_bps = (pre_up_bps + post_up_bps) / 2.0
+            down_bps = (pre_down_bps + post_down_bps) / 2.0
+        else:
+            up_bps, down_bps = post_up_bps, post_down_bps
     except Exception as e:
         link = {"link_error": repr(e)[:120]}
 
