@@ -227,27 +227,36 @@ class Detector:
         return result
 
     def detect_stream(self, volumes):
-        """Double-buffered batch inference: yields one result dict per
-        input volume, overlapping the host mold of volume N+1 with the
-        device execution of volume N (the two dominate latency and are
-        nearly equal, so sustained throughput approaches 2x the serial
-        per-volume rate).  The reference's batch loops (heart_main.py:
-        298-352, LiTS_2017/LiTS_main.py:370-394) run strictly serially.
+        """Pipelined batch inference: yields one result dict per input
+        volume, overlapping three stages -- the host mold of volume N+1,
+        the device execution of volume N, AND the D2H fetch + host unmold
+        of volume N-1 (a worker thread; the fetch is link-bound, so it
+        genuinely overlaps the CPU-bound mold even on a 1-core host --
+        ~0.1-0.3 s/volume of wire time off the sustained rate here, more
+        where unmold CPU can run on its own core).  The reference's batch
+        loops (heart_main.py:298-352, LiTS_2017/LiTS_main.py:370-394) run
+        strictly serially.
 
         ``volumes`` is any iterable of [H, W, D] arrays (e.g. a generator
-        reading NIfTI files); results come back in order.
+        reading NIfTI files); results come back in order (futures queue,
+        yielded FIFO).
         """
-        pending = None  # (device out -- NOT yet fetched, orig shape, window)
-        for vol in volumes:
-            slabs, window, orig_shape = self._mold(vol)
-            out = self._dispatch(slabs, window)
-            if pending is not None:
-                # volume N-1 finished on device while N was molding; this
-                # fetch returns ~immediately
-                yield self._finish(*pending)
-            pending = (out, orig_shape, window)
-        if pending is not None:
-            yield self._finish(*pending)
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = collections.deque()  # FIFO of finish() futures
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            for vol in volumes:
+                slabs, window, orig_shape = self._mold(vol)
+                out = self._dispatch(slabs, window)
+                pending.append(
+                    ex.submit(self._finish, out, orig_shape, window))
+                # keep at most 2 volumes in flight (one on device, one
+                # fetching/unmolding) so device output buffers stay bounded
+                if len(pending) > 1:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
     def _molded_labels_to_original(self, labels_molded: np.ndarray,
                                    orig_shape_hwd) -> np.ndarray:
