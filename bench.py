@@ -148,10 +148,11 @@ def main():
     # whose end-probe measured 95.8 MB/s up against rep-window device
     # buckets consistent with ~40)
     pre_up_bps = pre_down_bps = None
+    pre_probe_error = None
     try:
         pre_up_bps, pre_down_bps = probe_link()
-    except Exception:
-        pass
+    except Exception as e:
+        pre_probe_error = repr(e)[:120]
 
     # 9 reps, median: the tunneled link's throughput swings minute to
     # minute (device bucket observed 0.27-0.64 s across runs), so a short
@@ -161,8 +162,8 @@ def main():
     wires = {"heart": dict(det.last_wire_bytes)}
     dets = {"heart": (det, vol)}
 
-    # Sustained batch throughput: detect_stream double-buffers the host
-    # mold of volume N+1 against the device run of volume N.
+    # Sustained batch throughput: detect_stream pipelines three stages
+    # (mold N+1 / device-run N / fetch+unmold N-1 in a worker thread).
     extras = {}
     try:
         vols = [synth_volume(seed=s) for s in (1, 2, 3)]
@@ -281,30 +282,32 @@ def main():
     # 25-35 MB/s typical, observed swinging 2-3x hour to hour) -- with it
     # in the JSON, a slow capture is attributable to the link, a fast one
     # to the code.
+    # exact bytes/s carried to the floor below; the JSON rounds to true
+    # MB/s (the probe buffer is 16 MiB = 16.78 MB -- dividing 16 by
+    # seconds then scaling by 1e6 understated bandwidth 4.9 % and
+    # overstated the floor, breaking its lower-bound property).  The
+    # floor uses the pre/post MEAN -- the best available estimate of
+    # conditions during the reps; both endpoints are in the JSON so a
+    # big pre/post spread flags an unstable capture by itself.  Either
+    # probe alone still yields a floor (a flaky link killing ONE probe is
+    # exactly the capture that most needs to judge itself).
     link = {}
-    up_bps = down_bps = None
+    if pre_up_bps is not None:
+        link["link_up_mbps_pre"] = round(pre_up_bps / 1e6, 1)
+        link["link_down_mbps_pre"] = round(pre_down_bps / 1e6, 1)
+    elif pre_probe_error:
+        link["link_pre_error"] = pre_probe_error
     try:
-        # exact bytes/s carried to the floor below; the JSON rounds to
-        # true MB/s (the probe buffer is 16 MiB = 16.78 MB -- dividing 16
-        # by seconds then scaling by 1e6 understated bandwidth 4.9 % and
-        # overstated the floor, breaking its lower-bound property)
         post_up_bps, post_down_bps = probe_link()
-        link = {
-            "link_up_mbps": round(post_up_bps / 1e6, 1),
-            "link_down_mbps": round(post_down_bps / 1e6, 1),
-        }
-        # the floor uses the pre/post MEAN -- the best available estimate
-        # of conditions during the reps; both endpoints are in the JSON
-        # so a big pre/post spread flags an unstable capture by itself
-        if pre_up_bps is not None:
-            link["link_up_mbps_pre"] = round(pre_up_bps / 1e6, 1)
-            link["link_down_mbps_pre"] = round(pre_down_bps / 1e6, 1)
-            up_bps = (pre_up_bps + post_up_bps) / 2.0
-            down_bps = (pre_down_bps + post_down_bps) / 2.0
-        else:
-            up_bps, down_bps = post_up_bps, post_down_bps
+        link["link_up_mbps"] = round(post_up_bps / 1e6, 1)
+        link["link_down_mbps"] = round(post_down_bps / 1e6, 1)
     except Exception as e:
-        link = {"link_error": repr(e)[:120]}
+        post_up_bps = post_down_bps = None
+        link["link_error"] = repr(e)[:120]
+    ups = [b for b in (pre_up_bps, post_up_bps) if b is not None]
+    downs = [b for b in (pre_down_bps, post_down_bps) if b is not None]
+    up_bps = sum(ups) / len(ups) if ups else None
+    down_bps = sum(downs) / len(downs) if downs else None
 
     # Link-conditioned latency floor (VERDICT r4 weak #1): given THIS
     # capture's measured link bandwidth, the detect() wall cannot beat

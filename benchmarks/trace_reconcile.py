@@ -110,7 +110,7 @@ def main():
     # reconciliation caught the window-perturbed chain understating the
     # kernel 2.1x via loop-invariant code motion)
     slabs, window, _ = det._mold(vol)
-    tm = packed_infer_chain(det, vol)
+    tm = packed_infer_chain(det, vol, molded=(slabs, window))
     report["chain_amortized"] = {
         "infer_kernel_ms": round(tm["kernel_s"] * 1e3, 2),
         "single_call_ms": round(tm["single_s"] * 1e3, 2),

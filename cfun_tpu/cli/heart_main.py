@@ -119,7 +119,8 @@ def run_submit(cfg, params, data_dir: str, limit: int,
             affines.append(affine)
             yield image.astype(np.float32)
 
-    # double-buffered: volume N+1 loads + molds while N runs on device
+    # pipelined: volume N+1 loads + molds while N runs on device and
+    # N-1 fetches + unmolds in detect_stream's worker thread
     t0 = time.time()
     for item, result in zip(items, detector.detect_stream(volumes())):
         name = os.path.basename(item["image"])

@@ -137,7 +137,8 @@ def run_submit(cfg, params, data_dir: str, start: int = 0,
                 geoms.append((np.eye(4), image.shape))
             yield image
 
-    # double-buffered: volume N+1 loads + molds while N runs on device
+    # pipelined: volume N+1 loads + molds while N runs on device and
+    # N-1 fetches + unmolds in detect_stream's worker thread
     t0 = time.time()
     for i, result in zip(present, detector.detect_stream(volumes())):
         print(f"processing {i} ({time.time() - t0:.3f}s elapsed)")

@@ -196,8 +196,8 @@ def segment_report(seconds: float, flops: float,
     return out
 
 
-def packed_infer_chain(det, vol, *, reps: int = 3,
-                       chain: int = 8) -> Dict[str, float]:
+def packed_infer_chain(det, vol, *, reps: int = 3, chain: int = 8,
+                       molded=None) -> Dict[str, float]:
     """Chain-amortized timing of a Detector's FULL packed infer program.
 
     The scalar under the chain is ``infer_forward`` + ``pack_fast_output``
@@ -215,7 +215,13 @@ def packed_infer_chain(det, vol, *, reps: int = 3,
     """
     from cfun_tpu.models import cfun
 
-    slabs, window, _ = det._mold(vol)
+    if molded is not None:
+        # (slabs, window) from a caller that already molded the volume --
+        # skips a second full-volume resize + ~20 MB re-upload through
+        # the tunnel (trace_reconcile molds once for trace AND chain)
+        slabs, window = molded
+    else:
+        slabs, window, _ = det._mold(vol)
     bits = det._pack_bits
     dcfg = det.cfg
     image = jnp.concatenate(slabs, axis=0)[None, :, :, :, None]

@@ -130,7 +130,7 @@ def test_detector_lits_overlap_fast_path_close_to_exact():
 
 
 def test_detect_stream_matches_serial():
-    """Double-buffered detect_stream must return exactly the serial
+    """The three-stage pipelined detect_stream must return exactly the serial
     detect() results, in order, for a mixed-shape volume batch."""
     cfg = tiny_config(stage="beginning").replace(
         detection_max_instances=2, wire_image_dtype="int8",
