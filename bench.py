@@ -71,8 +71,10 @@ def timed_reps(det, vol, n):
         t0 = time.perf_counter()
         det.detect(vol)
         times.append(time.perf_counter() - t0)
-        for k in buckets:
+        for k in ("mold", "device", "unmold"):
             buckets[k].append(det.last_timings[k])
+        for k, v in det.last_sub_timings.items():
+            buckets.setdefault(f"unmold.{k}", []).append(v)
 
     def stats(xs):
         return {"median": round(float(np.median(xs)), 4),

@@ -84,6 +84,9 @@ class Detector:
                                 cfg.intensity_norm == "hu_window" and
                                 native.available())
         self.last_timings: Dict[str, float] = {}
+        # finer attribution of the 'unmold' bucket (fetch wait / bit
+        # unpack / label paste), keyed like "fetch"/"unpack"/"paste"
+        self.last_sub_timings: Dict[str, float] = {}
         # wire traffic of the last detect(): bench.py divides these by the
         # measured link bandwidth to compute the link-conditioned latency
         # floor each capture is judged against (VERDICT r4 weak #1)
@@ -189,11 +192,18 @@ class Detector:
     def _finish(self, out, orig_shape_hwd, window) -> Dict[str, np.ndarray]:
         """Fetch the device output (blocks) and unmold on host."""
         if self._packed:
+            t0 = time.perf_counter()
             buf = np.asarray(out)
+            t1 = time.perf_counter()
             detections, kept, masks = cfun.unpack_fast_output(
                 buf, self.cfg.detection_max_instances, self._labels_shape,
                 bits=self._pack_bits)
+            # sub-bucket attribution (read back via last_sub_timings):
+            # 'fetch' is the D2H wire wait if the program already finished
+            self.last_sub_timings = {
+                "fetch": t1 - t0, "unpack": time.perf_counter() - t1}
         else:
+            self.last_sub_timings = {}
             detections = np.asarray(out.detections)
             kept = np.asarray(out.det_valid)
             if out.mask_labels is not None:
@@ -328,8 +338,10 @@ class Detector:
             # molded-space overlap labels (LiTS fast path): nearest-map the
             # molded label volume back through the pad geometry (already
             # emitted in [H, W, D] host layout)
+            tp = time.perf_counter()
             full_hwd = self._molded_labels_to_original(mask_data,
                                                        orig_shape_hwd)
+            self.last_sub_timings["paste"] = time.perf_counter() - tp
             boxes = np.clip(boxes, 0, np.array([d0, h0, w0, d0, h0, w0]))
             rois = boxes[:, [1, 2, 0, 4, 5, 3]]
             return {
@@ -342,14 +354,22 @@ class Detector:
         masks = mask_data[:n][good]
         labels_mode = masks.ndim == 4  # [N, d, h, w] int8 labels
 
+        tp = time.perf_counter()
         if boxes.shape[0] > 0:
             boxes = np.clip(boxes, 0, np.array([d0, h0, w0, d0, h0, w0]))
             if labels_mode:
-                full = np.zeros((d0, h0, w0), np.int16)
-                z1, y1, x1, z2, y2, x2 = boxes[0]
-                target = (max(z2 - z1, 1), max(y2 - y1, 1), max(x2 - x1, 1))
-                full[z1:z1 + target[0], y1:y1 + target[1],
-                     x1:x1 + target[2]] = resize(masks[0], target, order=0)
+                # native run-length box paste (one pass, no axis-take
+                # copies); numpy fallback is bit-identical
+                full = native.unmold_labels_box(masks[0], boxes[0],
+                                                (d0, h0, w0))
+                if full is None:
+                    full = np.zeros((d0, h0, w0), np.int16)
+                    z1, y1, x1, z2, y2, x2 = boxes[0]
+                    target = (max(z2 - z1, 1), max(y2 - y1, 1),
+                              max(x2 - x1, 1))
+                    full[z1:z1 + target[0], y1:y1 + target[1],
+                         x1:x1 + target[2]] = resize(masks[0], target,
+                                                     order=0)
             elif cfg.name == "lits":
                 # overlap-tile averaging over ALL detections
                 # (LiTS_2017/utils.py:383-408)
@@ -361,6 +381,7 @@ class Detector:
                     full = unmold_mask_labels(masks[0], boxes[0], (d0, h0, w0))
         else:
             full = np.zeros((d0, h0, w0), np.int16)
+        self.last_sub_timings["paste"] = time.perf_counter() - tp
 
         # (z, y, x) -> (y, x, z) box order; [D, H, W] -> [H, W, D] volume
         rois = boxes[:, [1, 2, 0, 4, 5, 3]]

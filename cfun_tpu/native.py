@@ -133,6 +133,9 @@ def _bind_symbols(lib) -> None:
     lib.unmold_nearest_i16.argtypes = [i8p] + [ctypes.c_int] * 3 + \
         [i32p, i32p, i32p, i16p] + [ctypes.c_int] * 3
     lib.unmold_nearest_i16.restype = None
+    lib.unmold_labels_box_i16.argtypes = [i8p] + [ctypes.c_int] * 3 + \
+        [i32p, i32p, i32p, i16p] + [ctypes.c_int] * 9
+    lib.unmold_labels_box_i16.restype = None
     u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
     lib.heart_train_mold_bf16.argtypes = [f32p] + [ctypes.c_int] * 3 + \
         [u16p, f32p] + [ctypes.c_int] * 3 + [ctypes.c_float]
@@ -445,6 +448,39 @@ def lits_train_labels(mask_hwd: np.ndarray, pad_shape_hwd, out_shape_dhw,
     lib.lits_train_labels_i32(src, h0, w0, d0, ph, pw, pd, oh, ow, od, dst,
                               dt, ht, wt, float(angle_deg))
     return dst
+
+
+def unmold_labels_box(lab_dhw: np.ndarray, box, out_shape_dhw
+                      ) -> Optional[np.ndarray]:
+    """Heart fast-path unmold: nearest-resize an int8 [md, mh, mw] label
+    crop into integer ``box`` of a zeroed [D0, H0, W0] int16 volume, or
+    None if the native library is unavailable.  Bit-identical to
+    ``resize(lab, target, order=0)`` pasted at the box
+    (inference/pipeline.py::unmold labels branch): the index maps are
+    computed HERE with data/resample.py::_axis_indices' exact float64
+    nearest formula and passed down, so the C side does no coordinate
+    arithmetic."""
+    lib = _load()
+    if lib is None:
+        return None
+    lab = np.ascontiguousarray(lab_dhw, np.int8)
+    md, mh, mw = lab.shape
+    d0, h0, w0 = [int(v) for v in out_shape_dhw]
+    z1, y1, x1, z2, y2, x2 = [int(v) for v in box]
+    td, th, tw = max(z2 - z1, 1), max(y2 - y1, 1), max(x2 - x1, 1)
+
+    def nearest(n_in, n_out):
+        if n_in == n_out:  # resize() short-circuits equal axes
+            return np.arange(n_out, dtype=np.int32)
+        s = np.clip((np.arange(n_out, dtype=np.float64) + 0.5) * n_in /
+                    n_out - 0.5, 0, n_in - 1)
+        return np.floor(s + 0.5).astype(np.int32)
+
+    cz, cy, cx = nearest(md, td), nearest(mh, th), nearest(mw, tw)
+    out = np.zeros((d0, h0, w0), np.int16)
+    lib.unmold_labels_box_i16(lab, md, mh, mw, cz, cy, cx, out,
+                              d0, h0, w0, z1, y1, x1, td, th, tw)
+    return out
 
 
 def unmold_argmax(crop_probs: np.ndarray, box, out_shape_dhw

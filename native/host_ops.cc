@@ -880,31 +880,144 @@ void lits_train_labels_i32(const int32_t* src, int h0, int w0, int d0,
 // Inverse of the (virtual-pad) nearest molding for a molded int8 label
 // volume: out[y, x, z] = lab[mz[z], my[y], mx[x]] emitted as int16 in the
 // final [H0, W0, D0] host layout (numpy's successive axis-takes + astype +
-// transpose walked ~3.7 s at 512x512x400; this is one cache-friendly
-// pass: per output y the [Dm, Wm] source plane is staged once -- ~80 KB,
-// L2-resident -- and all (x, z) gathers hit it).
+// transpose walked ~3.7 s at 512x512x400).  Upsampled index maps repeat
+// consecutive source indices, so the kernel exploits runs instead of
+// gathering per voxel: the z axis is written as ~Dm run fills per fresh
+// (y, x), a duplicate x column is one memcpy of the previous column and a
+// duplicate y row one memcpy of the previous row.  The old per-voxel
+// dependent-gather loop measured 0.17 GB/s on the 1-core driver host
+// (105M serial loads); this form approaches the streaming-write floor.
 void unmold_nearest_i16(const int8_t* lab, int dm, int hm, int wm,
                         const int32_t* mz, const int32_t* my,
                         const int32_t* mx, int16_t* out, int h0, int w0,
                         int d0) {
+  // z runs: mz constant on [start, start+count); degenerates to d0
+  // length-1 runs (== the old per-voxel cost) when mz never repeats
+  std::vector<int32_t> rstart, rcount, rsrc;
+  for (int z = 0; z < d0;) {
+    int z2 = z + 1;
+    while (z2 < d0 && mz[z2] == mz[z]) ++z2;
+    rstart.push_back(z);
+    rcount.push_back(z2 - z);
+    rsrc.push_back(mz[z]);
+    z = z2;
+  }
+  const int nruns = static_cast<int>(rstart.size());
 #pragma omp parallel
   {
-    std::vector<int8_t> plane(static_cast<size_t>(dm) * wm);
 #if defined(_OPENMP)
-#pragma omp for schedule(static)
+    const int tid = omp_get_thread_num();
+    const int nt = omp_get_num_threads();
+#else
+    const int tid = 0;
+    const int nt = 1;
 #endif
-    for (int y = 0; y < h0; ++y) {
+    // contiguous per-thread y ranges: the duplicate-row memcpy only ever
+    // reads a row this same thread already wrote
+    const int ylo = static_cast<int>(static_cast<int64_t>(h0) * tid / nt);
+    const int yhi = static_cast<int>(static_cast<int64_t>(h0) * (tid + 1)
+                                     / nt);
+    std::vector<int8_t> plane(static_cast<size_t>(dm) * wm);
+    int prev_sy = -1;
+    for (int y = ylo; y < yhi; ++y) {
       const int sy = my[y];
+      int16_t* orow = out + static_cast<int64_t>(y) * w0 * d0;
+      if (sy == prev_sy) {
+        std::memcpy(orow, orow - static_cast<int64_t>(w0) * d0,
+                    static_cast<size_t>(w0) * d0 * sizeof(int16_t));
+        continue;
+      }
+      prev_sy = sy;
       for (int z = 0; z < dm; ++z)
         std::memcpy(plane.data() + static_cast<size_t>(z) * wm,
                     lab + (static_cast<int64_t>(z) * hm + sy) * wm,
                     static_cast<size_t>(wm));
-      int16_t* orow = out + static_cast<int64_t>(y) * w0 * d0;
+      int prev_sx = -1;
       for (int x = 0; x < w0; ++x) {
-        const int8_t* col = plane.data() + mx[x];
+        const int sx = mx[x];
         int16_t* o = orow + static_cast<int64_t>(x) * d0;
-        for (int z = 0; z < d0; ++z)
-          o[z] = static_cast<int16_t>(col[static_cast<size_t>(mz[z]) * wm]);
+        if (sx == prev_sx) {
+          std::memcpy(o, o - d0, static_cast<size_t>(d0) * sizeof(int16_t));
+          continue;
+        }
+        prev_sx = sx;
+        for (int r = 0; r < nruns; ++r) {
+          const int16_t v = static_cast<int16_t>(
+              plane[static_cast<size_t>(rsrc[r]) * wm + sx]);
+          std::fill_n(o + rstart[r], rcount[r], v);
+        }
+      }
+    }
+  }
+}
+
+// Nearest box-paste for the heart fast path's int8 label crop
+// (inference/pipeline.py::unmold labels branch, reference
+// model.py:1856-1858): out[z1+z, y1+y, x1+x] = lab[cz[z], cy[y], cx[x]]
+// as int16 into a caller-zeroed [D0, H0, W0] volume -- only the box
+// region is touched.  Replaces the numpy resize-then-paste (three
+// axis-take copies + an int16 convert-store over the box) with one
+// run-length pass; the index maps come from the caller so the nearest
+// convention is exactly data/resample.py::_axis_indices(order=0).
+void unmold_labels_box_i16(const int8_t* lab, int md, int mh, int mw,
+                           const int32_t* cz, const int32_t* cy,
+                           const int32_t* cx, int16_t* out, int d0,
+                           int h0, int w0, int z1, int y1, int x1,
+                           int td, int th, int tw) {
+  (void)md;
+  // x runs (innermost / contiguous output axis)
+  std::vector<int32_t> rstart, rcount, rsrc;
+  for (int x = 0; x < tw;) {
+    int x2 = x + 1;
+    while (x2 < tw && cx[x2] == cx[x]) ++x2;
+    rstart.push_back(x);
+    rcount.push_back(x2 - x);
+    rsrc.push_back(cx[x]);
+    x = x2;
+  }
+  const int nruns = static_cast<int>(rstart.size());
+#pragma omp parallel
+  {
+#if defined(_OPENMP)
+    const int tid = omp_get_thread_num();
+    const int nt = omp_get_num_threads();
+#else
+    const int tid = 0;
+    const int nt = 1;
+#endif
+    const int zlo = static_cast<int>(static_cast<int64_t>(td) * tid / nt);
+    const int zhi = static_cast<int>(static_cast<int64_t>(td) * (tid + 1)
+                                     / nt);
+    int prev_sz = -1;
+    for (int z = zlo; z < zhi; ++z) {
+      const int sz = cz[z];
+      int16_t* oplane = out +
+          ((static_cast<int64_t>(z1) + z) * h0 + y1) * w0 + x1;
+      if (sz == prev_sz) {
+        const int16_t* prev = oplane - static_cast<int64_t>(h0) * w0;
+        for (int y = 0; y < th; ++y)
+          std::memcpy(oplane + static_cast<int64_t>(y) * w0,
+                      prev + static_cast<int64_t>(y) * w0,
+                      static_cast<size_t>(tw) * sizeof(int16_t));
+        continue;
+      }
+      prev_sz = sz;
+      int prev_sy = -1;
+      int16_t* prow = nullptr;
+      for (int y = 0; y < th; ++y) {
+        const int sy = cy[y];
+        int16_t* orow = oplane + static_cast<int64_t>(y) * w0;
+        if (sy == prev_sy) {
+          std::memcpy(orow, prow, static_cast<size_t>(tw) * sizeof(int16_t));
+          continue;
+        }
+        prev_sy = sy;
+        prow = orow;
+        const int8_t* src = lab + (static_cast<int64_t>(sz) * mh + sy) * mw;
+        for (int r = 0; r < nruns; ++r) {
+          const int16_t v = static_cast<int16_t>(src[rsrc[r]]);
+          std::fill_n(orow + rstart[r], rcount[r], v);
+        }
       }
     }
   }

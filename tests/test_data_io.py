@@ -389,3 +389,43 @@ def test_lits_feeder_fused_path_matches_two_pass():
     for name, a, b in zip(fused._fields, fused, twopass):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_native_unmold_kernels_bit_identical():
+    """The run-length native unmold kernels (LiTS full-volume map and the
+    heart box paste) must be bit-identical to their numpy formulations,
+    including non-monotone index maps and edge boxes."""
+    import pytest
+
+    from cfun_tpu import native
+    from cfun_tpu.data.resample import resize
+
+    if not native.available():
+        pytest.skip("native host-ops unavailable")
+    rng = np.random.default_rng(7)
+
+    # LiTS-style full-volume nearest map (upsampling runs + random maps)
+    lab = rng.integers(0, 4, size=(24, 40, 40), dtype=np.int8)
+    for mz, my, mx in [
+        (np.repeat(np.arange(24), 3)[:50], np.repeat(np.arange(40), 2)[:64],
+         np.repeat(np.arange(40), 2)[:64]),
+        (rng.integers(0, 24, 50), rng.integers(0, 40, 64),
+         rng.integers(0, 40, 64)),
+    ]:
+        got = native.unmold_nearest_labels(lab, mz, my, mx)
+        ref = np.take(np.take(np.take(lab, mz, 0), my, 1), mx, 2)
+        ref = np.ascontiguousarray(ref.transpose(1, 2, 0)).astype(np.int16)
+        np.testing.assert_array_equal(got, ref)
+
+    # heart-style box paste vs resize(order=0) + paste
+    crop = rng.integers(0, 8, size=(24, 24, 24), dtype=np.int8)
+    shape = (40, 64, 64)
+    for box in ([4, 10, 9, 30, 60, 50], [0, 0, 0, 40, 64, 64],
+                [3, 5, 7, 4, 6, 8], [2, 2, 2, 26, 26, 26]):
+        z1, y1, x1, z2, y2, x2 = box
+        target = (max(z2 - z1, 1), max(y2 - y1, 1), max(x2 - x1, 1))
+        got = native.unmold_labels_box(crop, box, shape)
+        ref = np.zeros(shape, np.int16)
+        ref[z1:z1 + target[0], y1:y1 + target[1],
+            x1:x1 + target[2]] = resize(crop, target, order=0)
+        np.testing.assert_array_equal(got, ref)
